@@ -1,0 +1,169 @@
+"""ShuffleMixer feature-mixing blocks (NHWC Flax).
+
+Semantics mirror ``/root/reference/models/shufflemixer.py``: channel-split
+point MLPs with a g=8 channel shuffle, bias-free channel LayerNorm,
+depthwise spatial mixing, and the FMBlock used by the ESM upsampler. The
+standalone ShuffleMixer super-resolution network (unused by ESMStereo but
+part of the reference surface) is included as :class:`ShuffleMixerSR`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from esmstereo_tpu.nn.blocks import TorchConv, apply_act
+from esmstereo_tpu.ops.sampling import pixel_shuffle, resize_bilinear
+
+Array = jax.Array
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis with biased variance and eps=1e-5.
+
+    The reference flattens HW into tokens and norms over C
+    (``shufflemixer.py:47-93``); in NHWC that is a plain last-axis norm.
+    """
+
+    bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (dim,))
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mu) / jnp.sqrt(var + 1e-5) * weight
+        if self.bias:
+            y = y + self.param("bias", nn.initializers.zeros, (dim,))
+        return y
+
+
+def channel_shuffle(x: Array, groups: int) -> Array:
+    """Rearrange channels ``(g d) -> (d g)`` (``shufflemixer.py:37``)."""
+    b, h, w, c = x.shape
+    d = c // groups
+    return (x.reshape(b, h, w, groups, d)
+             .transpose(0, 1, 2, 4, 3)
+             .reshape(b, h, w, c))
+
+
+class SplitPointMlp(nn.Module):
+    """Half-channel point MLP followed by a g=8 channel shuffle.
+
+    Reference: ``shufflemixer.py:23-37``.
+    """
+
+    dim: int
+    mlp_ratio: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        half = self.dim // 2
+        hidden = half * self.mlp_ratio
+        x1, x2 = x[..., :half], x[..., half:]
+        x1 = TorchConv(hidden, 1, use_bias=True, dtype=self.dtype,
+                       name="fc1")(x1)
+        x1 = jax.nn.silu(x1)
+        x1 = TorchConv(half, 1, use_bias=True, dtype=self.dtype,
+                       name="fc2")(x1)
+        return channel_shuffle(jnp.concatenate([x1, x2], axis=-1), 8)
+
+
+class SMLayer(nn.Module):
+    """Shuffle-mixing layer: MLP -> depthwise k x k conv -> MLP with pre-norms.
+
+    Reference: ``shufflemixer.py:97-112``. Note the spatial conv carries no
+    residual of its own.
+    """
+
+    dim: int
+    kernel_size: int = 7
+    mlp_ratio: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = SplitPointMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
+                          name="mlp1")(
+            ChannelLayerNorm(dtype=self.dtype, name="norm1")(x)) + x
+        x = TorchConv(self.dim, self.kernel_size, 1, self.kernel_size // 2,
+                      groups=self.dim, use_bias=True, dtype=self.dtype,
+                      name="spatial")(x)
+        x = SplitPointMlp(self.dim, self.mlp_ratio, dtype=self.dtype,
+                          name="mlp2")(
+            ChannelLayerNorm(dtype=self.dtype, name="norm2")(x)) + x
+        return x
+
+
+class FMBlock(nn.Module):
+    """Feature-mixing block: 2x SMLayer + conv-SiLU bottleneck, both residual.
+
+    Reference: ``shufflemixer.py:116-132``.
+    """
+
+    dim: int
+    kernel_size: int = 7
+    mlp_ratio: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = SMLayer(self.dim, self.kernel_size, self.mlp_ratio,
+                    dtype=self.dtype, name="sm1")(x)
+        y = SMLayer(self.dim, self.kernel_size, self.mlp_ratio,
+                    dtype=self.dtype, name="sm2")(y)
+        x = y + x
+        z = TorchConv(self.dim + 16, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                      name="conv_expand")(x)
+        z = jax.nn.silu(z)
+        z = TorchConv(self.dim, 1, use_bias=True, dtype=self.dtype,
+                      name="conv_project")(z)
+        return z + x
+
+
+class PixelShuffleUp(nn.Module):
+    """1x1 conv -> PixelShuffle(r) -> SiLU (``ESMStereo.py:265-268`` pattern)."""
+
+    dim: int
+    factor: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = TorchConv(self.dim * self.factor ** 2, 1, use_bias=True,
+                      dtype=self.dtype, name="conv")(x)
+        return jax.nn.silu(pixel_shuffle(x, self.factor))
+
+
+class ShuffleMixerSR(nn.Module):
+    """Standalone ShuffleMixer super-resolution net (``shufflemixer.py:135-176``)."""
+
+    n_feats: int = 64
+    kernel_size: int = 7
+    n_blocks: int = 5
+    mlp_ratio: int = 2
+    upscaling_factor: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        base = x
+        x = TorchConv(self.n_feats, 3, 1, 1, dtype=self.dtype,
+                      name="to_feat")(x)
+        for i in range(self.n_blocks):
+            x = FMBlock(self.n_feats, self.kernel_size, self.mlp_ratio,
+                        dtype=self.dtype, name=f"block{i}")(x)
+        x = PixelShuffleUp(self.n_feats, 2, dtype=self.dtype, name="up2")(x)
+        x = PixelShuffleUp(self.n_feats, 2, dtype=self.dtype, name="up4")(x)
+        x = TorchConv(3, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                      name="tail")(x)
+        h, w = base.shape[1], base.shape[2]
+        base = resize_bilinear(
+            base, (h * self.upscaling_factor, w * self.upscaling_factor))
+        return x + base
