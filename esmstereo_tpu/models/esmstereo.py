@@ -1,0 +1,437 @@
+"""ESMStereo disparity network (TPU-native Flax, NHWC/NDHWC).
+
+Re-implements the reference architecture (``/root/reference/models/
+ESMStereo.py``) from its computation graph up: siamese feature pyramid →
+multi-scale fusion (FeatUp) → matching descriptors → cost volume →
+3-D hourglass aggregation → initial disparity regression → ESM
+(ShuffleMixer + refinement) upsampling.
+
+Variant map (cv_scale selects the cost-volume resolution; paper L/M/S):
+
+  * ``cv_scale=4``  (L): /4 volume, 48 bins, top-2 regression, 2-stage x2
+    upsampler. Backbones: efficientnet_b2 or mobilenetv2_100.
+  * ``cv_scale=8``  (M): /8 volume, 24 bins, raw-cost regression, 3-stage x2
+    upsampler. Backbone: efficientnet_b2 (channel plumbing requires it,
+    ``ESMStereo.py:590,671``).
+  * ``cv_scale=16`` (S): /16 volume, 12 bins, semantic attention over the
+    volume, 2-stage x4 upsampler. Backbone: mobilenetv2_100
+    (``ESMStereo.py:594,691``).
+
+All disparity outputs are multiplied by 4 (the net regresses quarter-pixel
+units, ``ESMStereo.py:735-745``). Train mode returns the multi-scale list;
+eval returns ``[disp_full]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from esmstereo_tpu import ops
+from esmstereo_tpu.backbones import ARCHS, FeaturePyramid
+from esmstereo_tpu.nn.blocks import Conv2x, ConvBlock, StemBlock, TorchConv
+from esmstereo_tpu.nn.shufflemixer import FMBlock, PixelShuffleUp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ESMStereoConfig:
+    max_disp: int = 192
+    cost_volume: str = "gwc"          # 'gwc' | 'norm_correlation'
+    backbone: str = "efficientnet_b2"
+    cv_scale: int = 4                 # 4 | 8 | 16
+    num_groups: int = 32
+    reduction: int = 8
+    # use the Pallas fused correlation kernel on TPU (falls back to jnp
+    # automatically off-TPU)
+    use_pallas: bool = True
+    dtype: Any = None
+
+    def __post_init__(self):
+        assert self.cost_volume in ("gwc", "norm_correlation"), self.cost_volume
+        assert self.cv_scale in (4, 8, 16), self.cv_scale
+        if self.cv_scale == 8 and self.backbone != "efficientnet_b2":
+            raise ValueError(
+                "cv_scale=8 requires efficientnet_b2 (descriptor conv is "
+                "sized for its 96-ch /8 features, ESMStereo.py:590)")
+        if self.cv_scale == 16 and self.backbone != "mobilenetv2_100":
+            raise ValueError(
+                "cv_scale=16 requires mobilenetv2_100 (semantic/descriptor "
+                "convs are sized for its 96-ch /16 features, "
+                "ESMStereo.py:594,606)")
+
+
+def _crop_like(x: Array, ref_arr: Array) -> Array:
+    """Crop trailing spatial overhang after a deconv (``ESMStereo.py:172,177``)."""
+    slices = tuple(slice(0, ref_arr.shape[i]) for i in range(x.ndim - 1))
+    return x[slices + (slice(None),)]
+
+
+class FeatUp(nn.Module):
+    """Top-down multi-scale fusion of the siamese pyramids.
+
+    Reference: ``ESMStereo.py:79-125``. Applied to left and right pyramids
+    with shared weights; uses the reference's ``weight_init`` (msra) init.
+    """
+
+    chans: Sequence[int]
+    cv_scale: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats: list[Array], *, train: bool = False) -> list[Array]:
+        x2, x4, x8, x16, x32 = feats
+        c = self.chans
+        v = self.cv_scale
+        x16 = Conv2x(c[3], deconv=True, dtype=self.dtype,
+                     name="deconv32_16")(x32, x16, train=train)
+        if v == 16:
+            x16 = ConvBlock(c[2] * 2, 3, 1, 1, init_mode="msra",
+                            dtype=self.dtype, name="conv16")(x16, train=train)
+        if v in (8, 4):
+            x8 = Conv2x(c[2], deconv=True, dtype=self.dtype,
+                        name="deconv16_8")(x16, x8, train=train)
+        if v == 8:
+            x8 = ConvBlock(c[2] * 2, 3, 1, 1, init_mode="msra",
+                           dtype=self.dtype, name="conv8")(x8, train=train)
+        if v == 4:
+            x4 = Conv2x(c[1], deconv=True, dtype=self.dtype,
+                        name="deconv8_4")(x8, x4, train=train)
+            x4 = ConvBlock(c[1] * 2, 3, 1, 1, init_mode="msra",
+                           dtype=self.dtype, name="conv4")(x4, train=train)
+        return [x4, x8, x16, x32]
+
+
+class Aggregation3D(nn.Module):
+    """Three-level 3-D hourglass over the cost volume (NDHWC).
+
+    Reference: ``ESMStereo.py:129-182``. Encoder strides 2 over (D, H, W)
+    three times, decodes with skip fusions, and emits a single-channel
+    volume via a final transposed conv.
+    """
+
+    in_channels: int
+    add_channel: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        cin, add = self.in_channels, self.add_channel
+
+        def block(feat, k, s, p, name, deconv=False, bn=True, act="gelu"):
+            return ConvBlock(feat, k, s, p, deconv=deconv, dims=3, bn=bn,
+                             act=act, dtype=self.dtype, name=name)
+
+        conv1 = block(cin + add, 3, 2, 1, "conv1_0")(x, train=train)
+        conv1 = block(cin + add, 3, 1, 1, "conv1_1")(conv1, train=train)
+
+        conv2 = block(cin + add * 2, 3, 2, 1, "conv2_0")(conv1, train=train)
+        conv2 = block(cin + add * 2, 3, 1, 1, "conv2_1")(conv2, train=train)
+
+        conv3 = block(cin + add * 4, 3, 2, 1, "conv3_0")(conv2, train=train)
+        conv3 = block(cin + add * 4, 3, 1, 1, "conv3_1")(conv3, train=train)
+
+        conv3_up = block(cin + add * 2, 4, 2, 1, "conv3_up",
+                         deconv=True)(conv3, train=train)
+        conv2 = jnp.concatenate([_crop_like(conv3_up, conv2), conv2], axis=-1)
+        conv2 = block(cin + add * 2, 1, 1, 0, "agg_0_0")(conv2, train=train)
+        conv2 = block(cin + add * 2, 3, 1, 1, "agg_0_1")(conv2, train=train)
+
+        conv2_up = block(cin + add, 4, 2, 1, "conv2_up",
+                         deconv=True)(conv2, train=train)
+        conv1 = jnp.concatenate([_crop_like(conv2_up, conv1), conv1], axis=-1)
+        conv1 = block(cin + add, 1, 1, 0, "agg_1_0")(conv1, train=train)
+        conv1 = block(cin + add, 3, 1, 1, "agg_1_1")(conv1, train=train)
+
+        return block(1, 4, 2, 1, "conv1_up", deconv=True, bn=False,
+                     act=None)(conv1, train=train)
+
+
+class UpRefinement(nn.Module):
+    """2-D hourglass residual refinement of an upsampled disparity.
+
+    Reference: ``ESMStereo.py:185-239``. ``f1`` joins at the /4 level of the
+    hourglass (relative to the disparity input), ``f2`` at /2.
+    """
+
+    channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, disp: Array, f1: Array, f2: Array,
+                 *, train: bool = False) -> Array:
+        c = self.channels
+
+        def block(feat, k, s, p, name, deconv=False, bn=True, act="gelu"):
+            return ConvBlock(feat, k, s, p, deconv=deconv, bn=bn, act=act,
+                             dtype=self.dtype, name=name)
+
+        conv1 = block(c, 3, 2, 1, "conv1_0")(disp, train=train)
+        conv1 = block(c, 3, 1, 1, "conv1_1")(conv1, train=train)
+        conv2 = block(c, 3, 2, 1, "conv2_0")(conv1, train=train)
+        conv2 = block(c, 3, 1, 1, "conv2_1")(conv2, train=train)
+        conv3 = block(c, 3, 2, 1, "conv3_0")(conv2, train=train)
+        conv3 = block(c, 3, 1, 1, "conv3_1")(conv3, train=train)
+
+        conv3_up = block(c, 4, 2, 1, "conv3_up", deconv=True)(conv3, train=train)
+        conv2 = jnp.concatenate([_crop_like(conv3_up, conv2), conv2, f1],
+                                axis=-1)
+        conv2 = block(c, 1, 1, 0, "agg_0_0")(conv2, train=train)
+        conv2 = block(c, 3, 1, 1, "agg_0_1")(conv2, train=train)
+
+        conv2_up = block(c, 4, 2, 1, "conv2_up", deconv=True)(conv2, train=train)
+        conv1 = jnp.concatenate([conv2_up, conv1, f2], axis=-1)
+        conv1 = block(c, 1, 1, 0, "agg_1_0")(conv1, train=train)
+        conv1 = block(c, 3, 1, 1, "agg_1_1")(conv1, train=train)
+
+        return block(1, 4, 2, 1, "conv1_up", deconv=True, bn=False,
+                     act=None)(conv1, train=train)
+
+
+class DispFeatures(nn.Module):
+    """Disparity feature stack ``dm*`` (k5p1 → k3p1 → k3p1 → k1p1).
+
+    Net spatial size is preserved (the k5/p1 shrink cancels the k1/p1 grow);
+    reference: ``ESMStereo.py:250-253``.
+    """
+
+    channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, disp: Array, *, train: bool = False) -> Array:
+        c = self.channels
+        x = ConvBlock(c, 5, 1, 1, dtype=self.dtype, name="conv0")(disp, train=train)
+        x = ConvBlock(c, 3, 1, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        x = ConvBlock(c, 3, 1, 1, dtype=self.dtype, name="conv2")(x, train=train)
+        x = ConvBlock(c, 1, 1, 1, dtype=self.dtype, name="conv3")(x, train=train)
+        return x
+
+
+class SpxBlock(nn.Module):
+    """``spx_*`` fusion: ConvBlock → conv3x3 → BN → GELU (``ESMStereo.py:255-258``)."""
+
+    mid: int
+    out: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        x = ConvBlock(self.mid, 3, 1, 1, dtype=self.dtype,
+                      name="conv0")(x, train=train)
+        x = TorchConv(self.out, 3, 1, 1, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
+class _UpStage(nn.Module):
+    """One ESM upsampling stage: disp features → fuse → (mix) → shuffle-up →
+    tail → hourglass refinement → bilinear-up + residual."""
+
+    dm_ch: int
+    spx_out: int
+    n_feats: int
+    shuffle: int            # pixel-shuffle factor
+    bilinear: int           # bilinear upsample factor for the skip
+    ref_ch: int
+    use_mixer: bool         # to_feat + FMBlocks before the shuffle-up
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, disp: Array, fuse_feat: Array, ref_f1: Array,
+                 ref_f2: Array, *, train: bool = False) -> Array:
+        d = DispFeatures(self.dm_ch, dtype=self.dtype, name="dm")(disp, train=train)
+        x = SpxBlock(self.dm_ch, self.spx_out, dtype=self.dtype, name="spx")(
+            jnp.concatenate([d, fuse_feat], axis=-1), train=train)
+        if self.use_mixer:
+            x = TorchConv(self.n_feats, 3, 1, 1, dtype=self.dtype,
+                          name="to_feat")(x)
+            x = FMBlock(self.n_feats, 7, 2, dtype=self.dtype, name="block0")(x)
+            x = FMBlock(self.n_feats, 7, 2, dtype=self.dtype, name="block1")(x)
+        x = PixelShuffleUp(self.n_feats, self.shuffle, dtype=self.dtype,
+                           name="up")(x)
+        x = TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                      name="tail")(x)
+        x = UpRefinement(self.ref_ch, dtype=self.dtype, name="ref")(
+            x, ref_f1, ref_f2, train=train)
+        h, w = disp.shape[1] * self.bilinear, disp.shape[2] * self.bilinear
+        return ops.resize_bilinear(disp, (h, w)) + x
+
+
+class Upsample4(nn.Module):
+    """x4 ESM upsampler (two x2 stages). Reference: ``ESMStereo.py:242-318``."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, f1x: Array, f2x: Array, f4x: Array, init_disp: Array,
+                 *, train: bool = False) -> tuple[Array, Array]:
+        up2 = _UpStage(32, 32, 16, 2, 2, 32, True, dtype=self.dtype,
+                       name="stage2x")(init_disp, f2x, f1x, f2x, train=train)
+        up4 = _UpStage(32, 16, 16, 2, 2, 32, False, dtype=self.dtype,
+                       name="stage4x")(up2, f4x, f2x, f4x, train=train)
+        return up4, up2
+
+
+class Upsample8(nn.Module):
+    """x8 ESM upsampler (three x2 stages). Reference: ``ESMStereo.py:320-428``."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, f2x: Array, f4x: Array, f8x: Array, stem2: Array,
+                 init_disp: Array, *, train: bool = False):
+        up2 = _UpStage(16, 16, 8, 2, 2, 16, True, dtype=self.dtype,
+                       name="stage2x")(init_disp, f4x, f2x, f4x, train=train)
+        up4 = _UpStage(16, 8, 8, 2, 2, 16, False, dtype=self.dtype,
+                       name="stage4x")(up2, f8x, f4x, f8x, train=train)
+        up8 = _UpStage(16, 8, 8, 2, 2, 16, False, dtype=self.dtype,
+                       name="stage8x")(up4, stem2, f8x, stem2, train=train)
+        return up8, up4, up2
+
+
+class Upsample16(nn.Module):
+    """x16 ESM upsampler (two x4 stages). Reference: ``ESMStereo.py:430-509``."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, f1x: Array, f2x: Array, f4x: Array, f8x: Array,
+                 init_disp: Array, *, train: bool = False):
+        up2 = _UpStage(16, 16, 8, 4, 4, 16, True, dtype=self.dtype,
+                       name="stage2x")(init_disp, f2x, f2x, f1x, train=train)
+        up4 = _UpStage(16, 8, 8, 4, 4, 16, False, dtype=self.dtype,
+                       name="stage4x")(up2, f4x, f4x, f8x, train=train)
+        return up4, up2
+
+
+class ESMStereo(nn.Module):
+    """Full ESMStereo network. Reference: ``ESMStereo.py:511-745``."""
+
+    config: ESMStereoConfig = ESMStereoConfig()
+
+    @nn.compact
+    def __call__(self, left: Array, right: Array, *, train: bool = False,
+                 train_status: bool | None = None) -> list[Array]:
+        cfg = self.config
+        if train_status is None:
+            train_status = train
+        v = cfg.cv_scale
+        chans = ARCHS[cfg.backbone].chans
+        dtype = cfg.dtype
+
+        feature = FeaturePyramid(arch=cfg.backbone, dtype=dtype, name="feature")
+        fl = feature(left, train=train)
+        fr = feature(right, train=train)
+
+        # FeatUp consumes the full 5-level pyramid [x2..x32] and returns
+        # [x4, x8, x16, x32]; for cv_scale=16 the raw 5-level pyramid is
+        # used directly (ESMStereo.py:643-646).
+        if v in (4, 8):
+            feature_up = FeatUp(chans, v, dtype=dtype, name="feature_up")
+            fl = feature_up(fl, train=train)
+            fr = feature_up(fr, train=train)
+
+        # --- stems + matching descriptors -------------------------------
+        stem_chs = {4: (32, 48), 8: (32, 48, 64), 16: (16, 24, 32, 40)}[v]
+        stems_l, stems_r = [], []
+        x_l, x_r = left, right
+        for i, sc in enumerate(stem_chs):
+            stem = StemBlock(sc, dtype=dtype, name=f"stem_{2 ** (i + 1)}")
+            x_l = stem(x_l, train=train)
+            x_r = stem(x_r, train=train)
+            stems_l.append(x_l)
+            stems_r.append(x_r)
+
+        if v == 4:
+            match_l_in = jnp.concatenate([fl[0], stems_l[1]], axis=-1)
+            match_r_in = jnp.concatenate([fr[0], stems_r[1]], axis=-1)
+        elif v == 8:
+            match_l_in = jnp.concatenate([fl[1], stems_l[2]], axis=-1)
+            match_r_in = jnp.concatenate([fr[1], stems_r[2]], axis=-1)
+        else:
+            match_l_in = jnp.concatenate([fl[3], stems_l[3]], axis=-1)
+            match_r_in = jnp.concatenate([fr[3], stems_r[3]], axis=-1)
+
+        conv = ConvBlock(64, 3, 1, 1, dtype=dtype, name="conv")
+        desc = TorchConv(64, 1, 1, 0, dtype=dtype, name="desc")
+        match_l = desc(conv(match_l_in, train=train))
+        match_r = desc(conv(match_r_in, train=train))
+
+        # --- cost volume + aggregation ----------------------------------
+        num_bins = cfg.max_disp // v
+        red = cfg.reduction
+        if v == 16:
+            sem_mid, sem_out = (64, 32) if cfg.cost_volume == "gwc" else (32, 8)
+            att = ConvBlock(sem_mid, 3, 1, 1, dtype=dtype,
+                            name="semantic_0")(fl[3], train=train)
+            att = TorchConv(sem_out, 3, 1, 1, dtype=dtype, name="semantic_1")(att)
+            att = att[:, None]  # broadcast over D (NDHWC)
+
+        if cfg.cost_volume == "norm_correlation":
+            volume = self._corr_volume(match_l, match_r, num_bins, 1)
+            volume = ConvBlock(red, 3, 1, 1, dims=3, dtype=dtype,
+                               name="corr_stem")(volume, train=train)
+            if v == 16:
+                volume = volume * att
+        else:
+            volume = self._corr_volume(match_l, match_r, num_bins,
+                                       cfg.num_groups)
+            if v == 16:
+                volume = volume * att
+            volume = ConvBlock(red, 3, 1, 1, dims=3, dtype=dtype,
+                               name="group_stem")(volume, train=train)
+
+        volume = ConvBlock(red, 3, 1, 1, dims=3, dtype=dtype,
+                           name="agg")(volume, train=train)
+        add_channel = {4: 16, 8: 8, 16: 4}[v]
+        cost = Aggregation3D(red, add_channel, dtype=dtype,
+                             name="aggregation_out")(volume, train=train)
+        cost = cost[..., 0]  # (B, D, H/v, W/v)
+
+        # --- initial disparity + ESM upsampling -------------------------
+        if v == 4:
+            init_pred = ops.regression_topk(cost, None, 2)
+            disp_1, disp_2 = Upsample4(dtype=dtype, name="upsample_module")(
+                fl[1], fl[0], stems_l[0], init_pred, train=train)
+            outs = [disp_1, disp_2]
+        elif v == 8:
+            init_pred = ops.disparity_regression(cost, num_bins)
+            disp_1, disp_2, disp_4 = Upsample8(dtype=dtype,
+                                               name="upsample_module")(
+                fl[2], fl[1], fl[0], stems_l[0], init_pred, train=train)
+            outs = [disp_1, disp_2, disp_4]
+        else:
+            init_pred = ops.disparity_regression(cost, num_bins)
+            f2 = ConvBlock(32, 3, 1, 1, dtype=dtype, name="conv_f2")(
+                fl[3], train=train)
+            f0 = ConvBlock(24, 3, 1, 1, dtype=dtype, name="conv_f0")(
+                fl[0], train=train)
+            disp_1, disp_2 = Upsample16(dtype=dtype, name="upsample_module")(
+                fl[2], f2, fl[1], f0, init_pred, train=train)
+            outs = [disp_1, disp_2]
+
+        if train_status:
+            return [o[..., 0] * 4 for o in outs]
+        return [outs[0][..., 0] * 4]
+
+    def _corr_volume(self, match_l: Array, match_r: Array, num_bins: int,
+                     groups: int) -> Array:
+        cfg = self.config
+        if cfg.use_pallas:
+            try:
+                from esmstereo_tpu.ops.pallas import correlation as pk
+                return pk.correlation_volume(
+                    match_l, match_r, num_bins, groups,
+                    normalize=cfg.cost_volume == "norm_correlation")
+            except Exception:  # noqa: BLE001 — fall back off-TPU
+                pass
+        if cfg.cost_volume == "norm_correlation":
+            return ops.build_norm_correlation_volume(match_l, match_r, num_bins)
+        return ops.build_gwc_volume(match_l, match_r, num_bins, groups)

@@ -1,0 +1,86 @@
+"""Device mesh + sharding rules (SPMD scaling).
+
+TPU-native replacement for the reference's ``nn.DataParallel`` wrap
+(``train_sceneflow.py:88``, effectively single-device) — and the scaling
+strategy the reference never had:
+
+  * ``data`` axis: batch data-parallelism. Gradients are averaged by XLA's
+    all-reduce automatically because the loss is a global mean under jit.
+  * ``spatial`` axis: the sequence-parallel analog for stereo — images,
+    feature maps and the cost volume are sharded along H. XLA's SPMD
+    partitioner inserts halo exchanges for every conv stencil, which is
+    exactly the hand-written ring exchange a CUDA framework would need.
+
+BatchNorm statistics are global means under jit over sharded arrays, so
+cross-replica stat sync comes for free (no explicit ``axis_name``).
+
+Multi-host: call ``jax.distributed.initialize()`` per host before building
+the mesh; each host feeds its local batch shard (``host_local_slice``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1      # -1: all remaining devices
+    spatial: int = 1
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    spatial = cfg.spatial
+    data = cfg.data if cfg.data != -1 else n // spatial
+    assert data * spatial == n, (data, spatial, n)
+    return Mesh(devices.reshape(data, spatial), ("data", "spatial"))
+
+
+def batch_spec() -> P:
+    """Images / disparities: batch over data, H over spatial."""
+    return P("data", "spatial")
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host-global batch dict onto the mesh."""
+    s = batch_sharding(mesh)
+
+    def put(x):
+        if x.ndim >= 2:
+            return jax.device_put(x, s)
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def host_local_slice(global_batch: int) -> tuple[int, int]:
+    """(start, size) of this host's slice of the global batch."""
+    nproc = jax.process_count()
+    per = global_batch // nproc
+    return jax.process_index() * per, per
+
+
+def jit_train_step(train_step):
+    """Jit a train step; shard the batch with :func:`shard_batch` first.
+
+    jit respects the shardings already attached to its array arguments, so
+    placing the batch over (data, spatial) is enough: XLA propagates the
+    sharding through the network and inserts the collectives (all-reduce for
+    the gradient mean, halo exchanges for spatially-sharded convs). The
+    state is donated so optimizer updates are in-place on device.
+    """
+    return jax.jit(train_step, donate_argnums=(0,))
