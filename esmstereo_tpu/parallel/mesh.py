@@ -42,6 +42,25 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     return Mesh(devices.reshape(data, spatial), ("data", "spatial"))
 
 
+def auto_mesh(batch_size: int, spatial: int = 1, devices=None) -> Mesh | None:
+    """Largest data axis that divides both the batch and the device count.
+
+    Returns ``None`` when only one device would be used (no sharding
+    needed). Unused devices are left out of the mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // spatial
+    data = 1
+    for d in range(min(avail, batch_size), 0, -1):
+        if batch_size % d == 0:
+            data = d
+            break
+    if data * spatial <= 1:
+        return None
+    return make_mesh(MeshConfig(data=data, spatial=spatial),
+                     devices=devices[: data * spatial])
+
+
 def batch_spec() -> P:
     """Images / disparities: batch over data, H over spatial."""
     return P("data", "spatial")

@@ -1,0 +1,176 @@
+"""Training-loop harness: the engine behind the train CLIs.
+
+Mirrors the reference driver behaviour (``/root/reference/
+train_sceneflow.py`` / ``train_kitti.py``): epoch loop with LR decay,
+per-iteration console logging, per-epoch checkpointing and full-test
+evaluation with best-metric tracking — on top of the jitted fused train
+step and (optionally) a device mesh for DP/SP sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esmstereo_tpu.parallel import mesh as pmesh
+from esmstereo_tpu.train import checkpoints as ckpt
+from esmstereo_tpu.train.schedule import lr_schedule_fn
+from esmstereo_tpu.train.state import create_train_state, make_optimizer
+from esmstereo_tpu.train.step import make_eval_step, make_train_step
+from esmstereo_tpu.utils.meters import AverageMeter, AverageMeterDict, save_scalars
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    epochs: int = 60
+    lr: float = 1e-3
+    lrepochs: str = "20,32,40,48,56:2"
+    optimizer: str = "adamw"
+    logdir: str = "./logs"
+    resume: bool = False
+    loadckpt: str = ""
+    save_freq: int = 1
+    summary_freq: int = 1
+    max_batches_per_epoch: int | None = None   # KITTI caps at 100
+    select_metric: str = "EPE"                 # KITTI selects on D1
+    fix_cv16_loss: bool = False
+    seed: int = 1
+
+
+def _to_device(batch: dict, mesh=None) -> dict:
+    jbatch = {}
+    for k, v in batch.items():
+        if isinstance(v, list) and v and isinstance(v[0], np.ndarray):
+            jbatch[k] = [jnp.asarray(x) for x in v]
+        elif isinstance(v, np.ndarray) and v.dtype != object:
+            jbatch[k] = jnp.asarray(v)
+    if mesh is not None:
+        jbatch = pmesh.shard_batch(mesh, jbatch)
+    return jbatch
+
+
+def _train_batch_view(batch: dict) -> dict:
+    return {k: batch[k] for k in ("left", "right", "disparity",
+                                  "disparity_low") if k in batch}
+
+
+def _eval_batch_view(batch: dict) -> dict:
+    return {k: batch[k] for k in ("left", "right", "disparity") if k in batch}
+
+
+def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
+                 *, mesh=None, logger=None,
+                 log_fn: Callable[[str], None] = print) -> dict:
+    """Run the full recipe; returns {'best_epoch', 'best_metric'}."""
+    os.makedirs(cfg.logdir, exist_ok=True)
+
+    steps_per_epoch = len(train_loader)
+    if cfg.max_batches_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, cfg.max_batches_per_epoch)
+
+    sample = next(iter(train_loader))
+    lr_fn = lr_schedule_fn(cfg.lr, cfg.lrepochs, steps_per_epoch)
+    state = create_train_state(
+        model, jax.random.key(cfg.seed), _to_device(sample),
+        make_optimizer(cfg.optimizer, lr_fn))
+
+    start_epoch = 0
+    if cfg.resume:
+        latest = ckpt.latest_checkpoint(cfg.logdir)
+        if latest:
+            log_fn(f"resuming from {latest}")
+            state, start_epoch = ckpt.restore_checkpoint(latest, state)
+    elif cfg.loadckpt:
+        log_fn(f"warm-starting from {cfg.loadckpt}")
+        state = ckpt.warm_start(cfg.loadckpt, state)
+
+    train_step = jax.jit(make_train_step(model, fix_cv16=cfg.fix_cv16_loss),
+                         donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model))
+
+    if mesh is not None:
+        state = jax.device_put(state, pmesh.replicated(mesh))
+
+    best_epoch, best_metric = -1, float("inf")
+    for epoch in range(start_epoch, cfg.epochs):
+        train_loader.set_epoch(epoch)
+        loss_m, epe_m, d1_m = AverageMeter(), AverageMeter(), AverageMeter()
+        t_epoch = time.time()
+        for bi, batch in enumerate(train_loader):
+            if cfg.max_batches_per_epoch and bi >= cfg.max_batches_per_epoch:
+                break
+            gstep = steps_per_epoch * epoch + bi
+            t0 = time.time()
+            state, metrics = train_step(
+                state, _to_device(_train_batch_view(batch), mesh))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            loss_m.update(metrics["loss"])
+            epe_m.update(metrics["EPE"])
+            d1_m.update(metrics["D1"])
+            if logger is not None and gstep % cfg.summary_freq == 0:
+                save_scalars(logger, "train",
+                             {"loss": metrics["loss"],
+                              "EPE": [metrics["EPE"]],
+                              "D1": [metrics["D1"]]}, gstep)
+            log_fn(
+                f"Epoch {epoch}/{cfg.epochs} | Iter {bi}/{steps_per_epoch} | "
+                f"loss {metrics['loss']:.3f}({loss_m.avg:.3f}) | "
+                f"EPE {metrics['EPE']:.3f}({epe_m.avg:.3f}) | "
+                f"D1 {metrics['D1']:.3f}({d1_m.avg:.3f}) | "
+                f"time {time.time() - t0:.3f}")
+
+        if (epoch + 1) % cfg.save_freq == 0:
+            path = ckpt.save_checkpoint(cfg.logdir, state, epoch)
+            log_fn(f"saved {path}")
+
+        # full-test evaluation
+        if test_loader is not None:
+            avg = AverageMeterDict()
+            for batch in test_loader:
+                metrics, _ = eval_step(
+                    state, _to_device(_eval_batch_view(batch), mesh))
+                avg.update({k: [float(v)] if k != "loss" else float(v)
+                            for k, v in metrics.items()})
+            means = avg.mean()
+            if logger is not None:
+                save_scalars(logger, "fulltest", means,
+                             steps_per_epoch * (epoch + 1))
+            sel = means[cfg.select_metric]
+            sel = sel[0] if isinstance(sel, list) else sel
+            if sel < best_metric:
+                best_metric, best_epoch = sel, epoch
+            log_fn(f"avg_test_scalars {means}")
+            log_fn(f"MAX epoch {best_epoch} total test "
+                   f"{cfg.select_metric} = {best_metric:.5f}")
+        log_fn(f"epoch {epoch} took {time.time() - t_epoch:.1f}s")
+
+    return {"best_epoch": best_epoch, "best_metric": best_metric}
+
+
+def measure_performance(model, variables, *, height: int = 512,
+                        width: int = 960, warmup: int = 10,
+                        reps: int = 500) -> float:
+    """Mean forward latency in ms (``train_sceneflow.py:254-275`` harness)."""
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((1, height, width, 3)),
+                       dtype=jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, height, width, 3)),
+                        dtype=jnp.float32)
+
+    @jax.jit
+    def forward(variables, left, right):
+        return model.apply(variables, left, right, train=False)[0]
+
+    for _ in range(warmup):
+        forward(variables, left, right).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = forward(variables, left, right)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3

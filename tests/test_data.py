@@ -1,0 +1,154 @@
+"""Data-layer tests: transforms vs torchvision golden, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from esmstereo_tpu.data import transforms as T
+from esmstereo_tpu.data.datasets import KITTIDataset, SceneFlowDataset
+from esmstereo_tpu.data.io import (
+    normalize_image,
+    pfm_imread,
+    pfm_imwrite,
+    read_all_lines,
+)
+from esmstereo_tpu.data.loader import DataLoader
+
+try:
+    import torchvision.transforms.functional as TVF
+    HAS_TORCHVISION = True
+except Exception:
+    HAS_TORCHVISION = False
+
+
+@pytest.mark.skipif(not HAS_TORCHVISION, reason="torchvision unavailable")
+def test_photometric_matches_torchvision(rng):
+    img = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    pil = Image.fromarray(img)
+    for factor in (0.5, 1.0, 1.7):
+        np.testing.assert_allclose(
+            T.adjust_brightness(img, factor),
+            np.array(TVF.adjust_brightness(pil, factor)), atol=1)
+        np.testing.assert_allclose(
+            T.adjust_gamma(img, factor),
+            np.array(TVF.adjust_gamma(pil, factor)), atol=1)
+        np.testing.assert_allclose(
+            T.adjust_contrast(img, factor),
+            np.array(TVF.adjust_contrast(pil, factor)), atol=1)
+        np.testing.assert_allclose(
+            T.adjust_saturation(img, factor),
+            np.array(TVF.adjust_saturation(pil, factor)), atol=1)
+
+
+def test_pyramid_is_strided_slice(rng):
+    d = rng.random((64, 128)).astype(np.float32)
+    pyr = T.disparity_pyramid(d)
+    assert [p.shape for p in pyr] == [(32, 64), (16, 32), (8, 16), (4, 8)]
+    np.testing.assert_array_equal(pyr[0], d[::2, ::2])
+
+
+def test_occlusion_patch_fills_mean(rng):
+    img = rng.integers(0, 256, (256, 512, 3), dtype=np.uint8)
+    out = T.random_occlusion_patch(rng, img, prob=1.0)
+    changed = (out != img).any(axis=-1)
+    assert changed.any()
+    mean = np.mean(np.mean(img, 0), 0).astype(out.dtype)
+    ys, xs = np.where(changed)
+    np.testing.assert_array_equal(out[ys[0], xs[0]], mean)
+
+
+def test_pfm_roundtrip(tmp_path, rng):
+    data = rng.standard_normal((17, 23)).astype(np.float32)
+    path = str(tmp_path / "x.pfm")
+    pfm_imwrite(path, data)
+    back, scale = pfm_imread(path)
+    np.testing.assert_array_equal(back, data)
+
+
+def _write_synth_sceneflow(tmp_path, n=4, h=64, w=96):
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        lp, rp, dp = f"l{i}.png", f"r{i}.png", f"d{i}.pfm"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            tmp_path / lp)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            tmp_path / rp)
+        pfm_imwrite(str(tmp_path / dp),
+                    rng.uniform(1, 50, (h, w)).astype(np.float32))
+        lines.append(f"{lp} {rp} {dp}")
+    listfile = tmp_path / "list.txt"
+    listfile.write_text("\n".join(lines) + "\n")
+    return str(listfile)
+
+
+def test_sceneflow_dataset_and_loader(tmp_path):
+    listfile = _write_synth_sceneflow(tmp_path)
+    ds = SceneFlowDataset(str(tmp_path), listfile, training=True,
+                          crop=(32, 64))
+    assert len(ds) == 4
+    sample = ds.get(0, np.random.default_rng(0))
+    assert sample["left"].shape == (32, 64, 3)
+    assert sample["disparity"].shape == (32, 64)
+    assert len(sample["disparity_low"]) == 4
+    assert sample["left"].dtype == np.float32
+
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=3)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["left"].shape == (2, 32, 64, 3)
+    assert batches[0]["disparity_low"][1].shape == (2, 8, 16)
+
+    # determinism: same seed+epoch -> identical batches
+    again = list(DataLoader(ds, batch_size=2, num_workers=1, seed=3))
+    np.testing.assert_array_equal(batches[0]["left"], again[0]["left"])
+
+    # host sharding covers disjoint indices
+    s0 = DataLoader(ds, batch_size=1, num_workers=1, shard_index=0,
+                    num_shards=2)
+    s1 = DataLoader(ds, batch_size=1, num_workers=1, shard_index=1,
+                    num_shards=2)
+    assert len(s0) == 2 and len(s1) == 2
+
+
+def test_sceneflow_eval_crop(tmp_path):
+    listfile = _write_synth_sceneflow(tmp_path, h=80, w=120)
+    ds = SceneFlowDataset(str(tmp_path), listfile, training=False,
+                          eval_crop=(64, 96))
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["left"].shape == (64, 96, 3)
+    assert s["top_pad"] == 0 and s["right_pad"] == 0
+
+
+def test_kitti_routing_and_eval_padding(tmp_path):
+    rng = np.random.default_rng(0)
+    h, w = 60, 100
+    # KITTI-2015-style tree under root15, 2012-style under root12
+    for root, img_l in (("k15", "image_2"), ("k12", "colored_0")):
+        img_r = {"image_2": "image_3", "colored_0": "colored_1"}[img_l]
+        disp = {"image_2": "disp_occ_0", "colored_0": "disp_occ"}[img_l]
+        for sub in (img_l, img_r, disp):
+            os.makedirs(tmp_path / root / "training" / sub, exist_ok=True)
+        base = tmp_path / root / "training"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            base / img_l / "000000_10.png")
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            base / img_r / "000000_10.png")
+        Image.fromarray(
+            (rng.uniform(1, 50, (h, w)) * 256).astype(np.uint16)).save(
+            base / disp / "000000_10.png")
+    listfile = tmp_path / "list.txt"
+    listfile.write_text(
+        "training/image_2/000000_10.png training/image_3/000000_10.png "
+        "training/disp_occ_0/000000_10.png\n"
+        "training/colored_0/000000_10.png training/colored_1/000000_10.png "
+        "training/disp_occ/000000_10.png\n")
+    ds = KITTIDataset(str(tmp_path / "k12"), str(tmp_path / "k15"),
+                      str(listfile), training=False, pad_to=(64, 128))
+    for i in range(2):  # index 0 routes to 2015, index 1 to 2012
+        s = ds.get(i, np.random.default_rng(0))
+        assert s["left"].shape == (64, 128, 3)
+        assert s["top_pad"] == 4 and s["right_pad"] == 28
+        assert (s["disparity"][:4] == 0).all()  # padded GT is invalid

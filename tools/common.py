@@ -1,0 +1,42 @@
+"""Shared CLI plumbing for the driver scripts."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model", default="ESMStereo",
+                        choices=["ESMStereo", "ESMStereo_trt",
+                                 "ESMStereo_confidence"])
+    parser.add_argument("--backbone", default="efficientnet_b2",
+                        choices=["mobilenetv2_100", "efficientnet_b2"])
+    parser.add_argument("--maxdisp", type=int, default=192)
+    parser.add_argument("--cv_scale", type=int, default=4,
+                        choices=[16, 8, 4],
+                        help="cost volume scale factor (L/M/S = 4/8/16)")
+    parser.add_argument("--cv", type=str, default="gwc",
+                        choices=["norm_correlation", "gwc"])
+    parser.add_argument("--no_pallas", action="store_true",
+                        help="disable the Pallas correlation kernel")
+
+
+def build_config(args):
+    from esmstereo_tpu.models import ESMStereoConfig
+    return ESMStereoConfig(
+        max_disp=args.maxdisp,
+        cost_volume=args.cv,
+        backbone=args.backbone,
+        cv_scale=args.cv_scale,
+        use_pallas=not args.no_pallas,
+    )
+
+
+def cpu_devices_if_requested(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
