@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: fused shift-and-correlate cost-volume build.
+
+Replaces the reference's python-loop-over-48-shifts volume builders
+(``/root/reference/models/submodule.py:151-200``) with one kernel that holds
+a row-block of both feature maps in VMEM and emits every disparity plane in
+a single pass — one HBM read of each input, one HBM write of the volume.
+
+Design notes:
+  * The group-mean is expressed as a matmul with a (C, G) group-indicator
+    matrix so the reduction runs on the MXU instead of relayouting the lane
+    dimension (channels-per-group is tiny — 2 for gwc).
+  * The target is pre-padded by D-1 columns on the host (fuses into the
+    producer), so every disparity shift is a static VMEM slice.
+  * L2 normalisation (norm_correlation / gwc_norm variants) is a pointwise
+    per-pixel op, applied on the host side where XLA fuses it into the pad.
+  * Output dtype follows the input (bf16 halves the volume's HBM traffic —
+    the op is write-bound: D*G floats out per C floats in).
+
+The jnp reference implementations in ``esmstereo_tpu.ops.cost_volume`` are
+the golden model; see ``tests/test_pallas_correlation.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_EPS = 1e-5
+
+
+def _pick_block(n: int, target: int) -> int:
+    for t in range(target, 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+def _corr_kernel(ref_ref, tgt_ref, gmat_ref, out_ref, *, max_disp: int,
+                 td: int):
+    """Grid cell = (batch, row-block, disparity-block): emits ``td`` planes.
+
+    The disparity axis is tiled because the G lane dimension pads to 128 in
+    VMEM — a full-D output block would blow the 16 MB VMEM budget at
+    production widths (the ``scoped vmem`` OOM this replaces).
+    """
+    ref = ref_ref[0]            # (TH, W, C)
+    gmat = gmat_ref[...]        # (C, G)
+    di = pl.program_id(2)
+    th, w, c = ref.shape
+    refs2d = ref.reshape(th * w, c)
+    for i in range(td):
+        # d = di * td + i; shift offset in the left-padded target
+        start = max_disp - 1 - i - di * td
+        shifted = tgt_ref[0, :, pl.ds(start, w), :].reshape(th * w, c)
+        prod = refs2d * shifted
+        cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32)
+        out_ref[0, i] = cost.reshape(th, w, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
+                                             "normalize"))
+def correlation_volume(ref: Array, tgt: Array, max_disp: int,
+                       num_groups: int, normalize: bool = False) -> Array:
+    """Cost volume ``(B, D, H, W, G)`` via the fused Pallas kernel.
+
+    ``num_groups=1`` + ``normalize=True``  == build_norm_correlation_volume
+    ``num_groups=G`` + ``normalize=False`` == build_gwc_volume
+    ``num_groups=G`` + ``normalize=True``  == build_gwc_volume_norm
+    """
+    b, h, w, c = ref.shape
+    assert c % num_groups == 0, (c, num_groups)
+    cpg = c // num_groups
+
+    if normalize:
+        def l2n(x):
+            xg = x.reshape(b, h, w, num_groups, cpg)
+            n = jnp.linalg.norm(xg, axis=-1, keepdims=True)
+            return ((xg / (n + _EPS)).reshape(b, h, w, c)).astype(x.dtype)
+        ref, tgt = l2n(ref), l2n(tgt)
+
+    # group-indicator matrix: mean over each group's channels
+    gmat = np.zeros((c, num_groups), np.float32)
+    for ch in range(c):
+        gmat[ch, ch // cpg] = 1.0 / cpg
+    gmat = jnp.asarray(gmat)
+
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 0), (max_disp - 1, 0), (0, 0)))
+
+    # VMEM budget: the G lane dim pads to 128, so size blocks assuming
+    # lanes=max(G, 128). Keep the double-buffered output tile under ~4 MB.
+    lanes = max(num_groups, 128)
+    itemsize = ref.dtype.itemsize
+    budget = 4 * 1024 * 1024
+    th = _pick_block(h, 2)
+    td = _pick_block(max_disp, max(1, budget // (th * w * lanes * itemsize)))
+
+    out_shape = jax.ShapeDtypeStruct((b, max_disp, h, w, num_groups),
+                                     ref.dtype)
+    grid = (b, h // th, max_disp // td)
+    wp = w + max_disp - 1
+    bytes_acc = (th * w * c + th * wp * c) * itemsize \
+        + max_disp * th * w * num_groups * itemsize
+
+    return pl.pallas_call(
+        functools.partial(_corr_kernel, max_disp=max_disp, td=td),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, c), lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, num_groups), lambda bi, hi, di: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, td, th, w, num_groups),
+                               lambda bi, hi, di: (bi, di, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * max_disp * c,
+            bytes_accessed=bytes_acc * b * (h // th),
+            transcendentals=0,
+        ),
+    )(ref, tgt_pad, gmat)

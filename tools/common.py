@@ -21,8 +21,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
                         help="cost volume scale factor (L/M/S = 4/8/16)")
     parser.add_argument("--cv", type=str, default="gwc",
                         choices=["norm_correlation", "gwc"])
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the materializing Pallas correlation "
+                             "kernel (default: XLA-fused jnp volume, which "
+                             "benches faster)")
+    # kept for backwards compatibility; the fused path is now the default
     parser.add_argument("--no_pallas", action="store_true",
-                        help="disable the Pallas correlation kernel")
+                        help=argparse.SUPPRESS)
 
 
 def build_config(args):
@@ -32,7 +37,7 @@ def build_config(args):
         cost_volume=args.cv,
         backbone=args.backbone,
         cv_scale=args.cv_scale,
-        use_pallas=not args.no_pallas,
+        use_pallas=args.pallas and not args.no_pallas,
     )
 
 
