@@ -322,7 +322,14 @@ class ESMStereo(nn.Module):
 
     @nn.compact
     def __call__(self, left: Array, right: Array, *, train: bool = False,
-                 train_status: bool | None = None) -> list[Array]:
+                 train_status: bool | None = None,
+                 capture_internals: bool = False):
+        """Forward pass.
+
+        With ``capture_internals=True`` also returns the intermediate
+        tensors the confidence head consumes
+        (``ESMStereo_confidence.py:972``).
+        """
         cfg = self.config
         if train_status is None:
             train_status = train
@@ -422,8 +429,19 @@ class ESMStereo(nn.Module):
             outs = [disp_1, disp_2]
 
         if train_status:
-            return [o[..., 0] * 4 for o in outs]
-        return [outs[0][..., 0] * 4]
+            result = [o[..., 0] * 4 for o in outs]
+        else:
+            result = [outs[0][..., 0] * 4]
+        if capture_internals:
+            aux = {
+                "cost": cost,
+                "init_pred": init_pred,
+                "match_left": match_l,
+                "f16": fl[3],
+                "f4": fl[1],
+            }
+            return result, aux
+        return result
 
     def _corr_volume(self, match_l: Array, match_r: Array, num_bins: int,
                      groups: int) -> Array:
