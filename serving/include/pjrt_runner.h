@@ -1,0 +1,74 @@
+// Minimal PJRT C-API host runtime: load a plugin .so, compile a StableHLO
+// module, and execute it — the TPU-native counterpart of the reference's
+// TensorRT engine loading + enqueueV3 pipeline
+// (/root/reference/kitti_publisher/src/kitti_publisher_cuda_node.cpp:
+// loadEngine 177-209, initializeTensorRT 211-263, publishImages 323-383).
+//
+// Where CUDA serving deserialises a .plan into an ICudaEngine, TPU serving
+// hands the exported StableHLO module (tools/export_stablehlo.py) to the
+// platform's PJRT plugin (libtpu.so on TPU hosts) via the stable C API.
+
+#pragma once
+
+#include <cstdint>
+#include <memory>
+#include <string>
+#include <vector>
+
+typedef struct PJRT_Api PJRT_Api;
+typedef struct PJRT_Client PJRT_Client;
+typedef struct PJRT_Device PJRT_Device;
+typedef struct PJRT_LoadedExecutable PJRT_LoadedExecutable;
+
+namespace esmstereo {
+
+class PjrtRunner {
+ public:
+  // A client create option: int64 if `is_int`, else string.
+  struct Option {
+    std::string name;
+    std::string str_value;
+    int64_t int_value = 0;
+    bool is_int = false;
+  };
+
+  // plugin_path: PJRT plugin shared object (e.g. libtpu.so).
+  explicit PjrtRunner(const std::string& plugin_path,
+                      std::vector<Option> options = {});
+  ~PjrtRunner();
+
+  PjrtRunner(const PjrtRunner&) = delete;
+  PjrtRunner& operator=(const PjrtRunner&) = delete;
+
+  // Loads the plugin and creates a client. Returns empty string on
+  // success, else an error message.
+  std::string Initialize();
+
+  // Compiles an MLIR (StableHLO) module. Empty string on success.
+  std::string Compile(const std::string& mlir_module);
+
+  // Executes with float32 inputs; each input/output is a (dims, data)
+  // pair. Empty string on success.
+  struct Tensor {
+    std::vector<int64_t> dims;
+    std::vector<float> data;
+  };
+  std::string Execute(const std::vector<Tensor>& inputs,
+                      std::vector<Tensor>* outputs);
+
+  const std::string& platform_name() const { return platform_name_; }
+
+ private:
+  std::string plugin_path_;
+  std::vector<Option> options_;
+  void* dl_handle_ = nullptr;
+  const PJRT_Api* api_ = nullptr;
+  PJRT_Client* client_ = nullptr;
+  PJRT_Device* device_ = nullptr;
+  PJRT_LoadedExecutable* executable_ = nullptr;
+  std::string platform_name_;
+
+  std::string ErrorToString(void* error);
+};
+
+}  // namespace esmstereo

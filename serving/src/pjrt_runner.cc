@@ -1,0 +1,290 @@
+#include "pjrt_runner.h"
+
+#include <dlfcn.h>
+
+#include <cstring>
+#include <numeric>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace esmstereo {
+
+namespace {
+
+// Conservative struct sizes for cross-version plugin compatibility: a PJRT
+// plugin accepts callers whose struct_size <= its own (unknown trailing
+// fields read as absent), so we pass sizes that end at fields present
+// since early API versions (the axon plugin here reports 0.54; libtpu 0.89).
+#define PJRT_COMPAT_SIZE(sname, last_field) \
+  (offsetof(sname, last_field) + sizeof(((sname*)nullptr)->last_field))
+
+// Serialized xla.CompileOptionsProto with
+// executable_build_options { num_replicas: 1  num_partitions: 1 }.
+// Hand-encoded (field 3 = executable_build_options, length-delimited;
+// inner fields 4/5 varint 1) to avoid a protobuf build dependency.
+constexpr char kCompileOptionsProto[] = {0x1a, 0x04, 0x20, 0x01, 0x28, 0x01};
+
+}  // namespace
+
+PjrtRunner::PjrtRunner(const std::string& plugin_path,
+                       std::vector<Option> options)
+    : plugin_path_(plugin_path), options_(std::move(options)) {}
+
+PjrtRunner::~PjrtRunner() {
+  if (api_ != nullptr) {
+    if (executable_ != nullptr) {
+      PJRT_LoadedExecutable_Destroy_Args args{
+          PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE, nullptr,
+          executable_};
+      api_->PJRT_LoadedExecutable_Destroy(&args);
+    }
+    if (client_ != nullptr) {
+      PJRT_Client_Destroy_Args args{PJRT_Client_Destroy_Args_STRUCT_SIZE,
+                                    nullptr, client_};
+      api_->PJRT_Client_Destroy(&args);
+    }
+  }
+  if (dl_handle_ != nullptr) dlclose(dl_handle_);
+}
+
+std::string PjrtRunner::ErrorToString(void* error) {
+  if (error == nullptr) return "";
+  auto* err = static_cast<PJRT_Error*>(error);
+  PJRT_Error_Message_Args margs{PJRT_Error_Message_Args_STRUCT_SIZE, nullptr,
+                                err, nullptr, 0};
+  api_->PJRT_Error_Message(&margs);
+  std::string message(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs{PJRT_Error_Destroy_Args_STRUCT_SIZE, nullptr,
+                                err};
+  api_->PJRT_Error_Destroy(&dargs);
+  return message.empty() ? "unknown PJRT error" : message;
+}
+
+std::string PjrtRunner::Initialize() {
+  dl_handle_ = dlopen(plugin_path_.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (dl_handle_ == nullptr) {
+    return std::string("dlopen failed: ") + dlerror();
+  }
+  using GetPjrtApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetPjrtApiFn>(
+      dlsym(dl_handle_, "GetPjrtApi"));
+  if (get_api == nullptr) {
+    return "plugin does not export GetPjrtApi";
+  }
+  api_ = get_api();
+  if (api_ == nullptr) return "GetPjrtApi returned null";
+
+  if (api_->PJRT_Plugin_Initialize != nullptr) {
+    PJRT_Plugin_Initialize_Args args{PJRT_Plugin_Initialize_Args_STRUCT_SIZE,
+                                     nullptr};
+    if (auto e = ErrorToString(api_->PJRT_Plugin_Initialize(&args));
+        !e.empty()) {
+      return "PJRT_Plugin_Initialize: " + e;
+    }
+  }
+
+  std::vector<PJRT_NamedValue> named(options_.size());
+  for (size_t i = 0; i < options_.size(); ++i) {
+    std::memset(&named[i], 0, sizeof(named[i]));
+    named[i].struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    named[i].name = options_[i].name.c_str();
+    named[i].name_size = options_[i].name.size();
+    if (options_[i].is_int) {
+      named[i].type = PJRT_NamedValue_kInt64;
+      named[i].int64_value = options_[i].int_value;
+      named[i].value_size = 1;
+    } else {
+      named[i].type = PJRT_NamedValue_kString;
+      named[i].string_value = options_[i].str_value.c_str();
+      named[i].value_size = options_[i].str_value.size();
+    }
+  }
+
+  PJRT_Client_Create_Args cargs;
+  std::memset(&cargs, 0, sizeof(cargs));
+  cargs.struct_size = PJRT_COMPAT_SIZE(PJRT_Client_Create_Args, client);
+  cargs.create_options = named.data();
+  cargs.num_options = named.size();
+  if (auto e = ErrorToString(api_->PJRT_Client_Create(&cargs)); !e.empty()) {
+    return "PJRT_Client_Create: " + e;
+  }
+  client_ = cargs.client;
+
+  PJRT_Client_PlatformName_Args pargs;
+  std::memset(&pargs, 0, sizeof(pargs));
+  pargs.struct_size = PJRT_Client_PlatformName_Args_STRUCT_SIZE;
+  pargs.client = client_;
+  if (auto e = ErrorToString(api_->PJRT_Client_PlatformName(&pargs));
+      e.empty()) {
+    platform_name_.assign(pargs.platform_name, pargs.platform_name_size);
+  }
+
+  PJRT_Client_AddressableDevices_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  dargs.client = client_;
+  if (auto e = ErrorToString(api_->PJRT_Client_AddressableDevices(&dargs));
+      !e.empty()) {
+    return "PJRT_Client_AddressableDevices: " + e;
+  }
+  if (dargs.num_addressable_devices == 0) return "no addressable devices";
+  device_ = dargs.addressable_devices[0];
+  return "";
+}
+
+std::string PjrtRunner::Compile(const std::string& mlir_module) {
+  PJRT_Program program;
+  std::memset(&program, 0, sizeof(program));
+  program.struct_size = PJRT_Program_STRUCT_SIZE;
+  program.code = const_cast<char*>(mlir_module.data());
+  program.code_size = mlir_module.size();
+  program.format = "mlir";
+  program.format_size = 4;
+
+  PJRT_Client_Compile_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  args.client = client_;
+  args.program = &program;
+  args.compile_options = kCompileOptionsProto;
+  args.compile_options_size = sizeof(kCompileOptionsProto);
+  if (auto e = ErrorToString(api_->PJRT_Client_Compile(&args)); !e.empty()) {
+    return "PJRT_Client_Compile: " + e;
+  }
+  executable_ = args.executable;
+  return "";
+}
+
+std::string PjrtRunner::Execute(const std::vector<Tensor>& inputs,
+                                std::vector<Tensor>* outputs) {
+  if (executable_ == nullptr) return "Execute before Compile";
+
+  std::vector<PJRT_Buffer*> in_buffers(inputs.size());
+  for (size_t i = 0; i < inputs.size(); ++i) {
+    PJRT_Client_BufferFromHostBuffer_Args bargs;
+    std::memset(&bargs, 0, sizeof(bargs));
+    bargs.struct_size = PJRT_COMPAT_SIZE(PJRT_Client_BufferFromHostBuffer_Args, buffer);
+    bargs.client = client_;
+    bargs.data = inputs[i].data.data();
+    bargs.type = PJRT_Buffer_Type_F32;
+    bargs.dims = inputs[i].dims.data();
+    bargs.num_dims = inputs[i].dims.size();
+    bargs.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    bargs.device = device_;
+    if (auto e = ErrorToString(api_->PJRT_Client_BufferFromHostBuffer(&bargs));
+        !e.empty()) {
+      return "BufferFromHostBuffer: " + e;
+    }
+    in_buffers[i] = bargs.buffer;
+    PJRT_Event_Await_Args eargs{PJRT_Event_Await_Args_STRUCT_SIZE, nullptr,
+                                bargs.done_with_host_buffer};
+    ErrorToString(api_->PJRT_Event_Await(&eargs));
+    PJRT_Event_Destroy_Args edargs{PJRT_Event_Destroy_Args_STRUCT_SIZE,
+                                   nullptr, bargs.done_with_host_buffer};
+    api_->PJRT_Event_Destroy(&edargs);
+  }
+
+  // number of outputs
+  PJRT_Executable_NumOutputs_Args nargs;
+  std::memset(&nargs, 0, sizeof(nargs));
+  nargs.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  PJRT_LoadedExecutable_GetExecutable_Args gargs;
+  std::memset(&gargs, 0, sizeof(gargs));
+  gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  gargs.loaded_executable = executable_;
+  if (auto e = ErrorToString(
+          api_->PJRT_LoadedExecutable_GetExecutable(&gargs));
+      !e.empty()) {
+    return "GetExecutable: " + e;
+  }
+  nargs.executable = gargs.executable;
+  if (auto e = ErrorToString(api_->PJRT_Executable_NumOutputs(&nargs));
+      !e.empty()) {
+    return "NumOutputs: " + e;
+  }
+  const size_t num_outputs = nargs.num_outputs;
+
+  std::vector<PJRT_Buffer*> out_buffers(num_outputs, nullptr);
+  PJRT_Buffer* const* arg_list = in_buffers.data();
+  PJRT_Buffer** out_list = out_buffers.data();
+  PJRT_Event* complete_event = nullptr;
+
+  PJRT_ExecuteOptions options;
+  std::memset(&options, 0, sizeof(options));
+  options.struct_size = PJRT_COMPAT_SIZE(PJRT_ExecuteOptions, num_non_donatable_input_indices);
+
+  PJRT_LoadedExecutable_Execute_Args eargs;
+  std::memset(&eargs, 0, sizeof(eargs));
+  eargs.struct_size = PJRT_COMPAT_SIZE(PJRT_LoadedExecutable_Execute_Args, execute_device);
+  eargs.executable = executable_;
+  eargs.options = &options;
+  eargs.argument_lists = &arg_list;
+  eargs.num_devices = 1;
+  eargs.num_args = in_buffers.size();
+  eargs.output_lists = &out_list;
+  eargs.device_complete_events = &complete_event;
+  if (auto e = ErrorToString(api_->PJRT_LoadedExecutable_Execute(&eargs));
+      !e.empty()) {
+    return "Execute: " + e;
+  }
+  if (complete_event != nullptr) {
+    PJRT_Event_Await_Args wargs{PJRT_Event_Await_Args_STRUCT_SIZE, nullptr,
+                                complete_event};
+    ErrorToString(api_->PJRT_Event_Await(&wargs));
+    PJRT_Event_Destroy_Args edargs{PJRT_Event_Destroy_Args_STRUCT_SIZE,
+                                   nullptr, complete_event};
+    api_->PJRT_Event_Destroy(&edargs);
+  }
+
+  outputs->clear();
+  outputs->resize(num_outputs);
+  for (size_t i = 0; i < num_outputs; ++i) {
+    PJRT_Buffer_Dimensions_Args dims_args;
+    std::memset(&dims_args, 0, sizeof(dims_args));
+    dims_args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dims_args.buffer = out_buffers[i];
+    if (auto e = ErrorToString(api_->PJRT_Buffer_Dimensions(&dims_args));
+        !e.empty()) {
+      return "Buffer_Dimensions: " + e;
+    }
+    (*outputs)[i].dims.assign(dims_args.dims,
+                              dims_args.dims + dims_args.num_dims);
+    int64_t n = 1;
+    for (auto d : (*outputs)[i].dims) n *= d;
+    (*outputs)[i].data.resize(static_cast<size_t>(n));
+
+    PJRT_Buffer_ToHostBuffer_Args hargs;
+    std::memset(&hargs, 0, sizeof(hargs));
+    hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    hargs.src = out_buffers[i];
+    hargs.dst = (*outputs)[i].data.data();
+    hargs.dst_size = (*outputs)[i].data.size() * sizeof(float);
+    if (auto e = ErrorToString(api_->PJRT_Buffer_ToHostBuffer(&hargs));
+        !e.empty()) {
+      return "ToHostBuffer: " + e;
+    }
+    if (hargs.event != nullptr) {
+      PJRT_Event_Await_Args wargs{PJRT_Event_Await_Args_STRUCT_SIZE, nullptr,
+                                  hargs.event};
+      ErrorToString(api_->PJRT_Event_Await(&wargs));
+      PJRT_Event_Destroy_Args edargs{PJRT_Event_Destroy_Args_STRUCT_SIZE,
+                                     nullptr, hargs.event};
+      api_->PJRT_Event_Destroy(&edargs);
+    }
+  }
+
+  for (auto* b : in_buffers) {
+    PJRT_Buffer_Destroy_Args dargs{PJRT_Buffer_Destroy_Args_STRUCT_SIZE,
+                                   nullptr, b};
+    api_->PJRT_Buffer_Destroy(&dargs);
+  }
+  for (auto* b : out_buffers) {
+    PJRT_Buffer_Destroy_Args dargs{PJRT_Buffer_Destroy_Args_STRUCT_SIZE,
+                                   nullptr, b};
+    api_->PJRT_Buffer_Destroy(&dargs);
+  }
+  return "";
+}
+
+}  // namespace esmstereo
