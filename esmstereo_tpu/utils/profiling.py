@@ -1,0 +1,96 @@
+"""Profiling & tracing: latency harness, profiler traces, roofline math.
+
+TPU-native replacement for the reference's CUDA-event timing
+(``train_sceneflow.py:254-275``, ``save_vid.py:139-157``): async dispatch +
+``block_until_ready`` for wall-clock, ``jax.profiler`` for device traces
+(viewable in TensorBoard / Perfetto), and a simple roofline accounting
+helper for kernel analysis.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+
+
+def time_fn(fn: Callable, *args, warmup: int = 10, reps: int = 100) -> dict:
+    """Mean/std wall-clock of a jitted fn in ms (device-resident args!).
+
+    Inputs must already be on device (``jax.device_put``) — feeding host
+    numpy pays a per-call transfer that dominates on remote-attached TPUs.
+    """
+    import numpy as np
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    # amortised (pipelined) timing as the throughput number
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    amortised = (time.perf_counter() - t0) / reps * 1e3
+    return {
+        "mean_ms": float(np.mean(times)),
+        "std_ms": float(np.std(times)),
+        "min_ms": float(np.min(times)),
+        "amortised_ms": amortised,
+        "fps": 1e3 / amortised,
+    }
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device trace: ``with trace('/tmp/trace'): fn()``.
+
+    View with TensorBoard's profile plugin or Perfetto.
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass(frozen=True)
+class Roofline:
+    """Per-chip roofline model (defaults: TPU v5e)."""
+
+    peak_flops: float = 197e12       # bf16 FLOP/s
+    peak_flops_f32: float = 98.5e12
+    hbm_bandwidth: float = 819e9     # bytes/s
+
+    def light_speed_ms(self, flops: float, bytes_accessed: float,
+                       dtype_bits: int = 32) -> dict:
+        peak = self.peak_flops_f32 if dtype_bits == 32 else self.peak_flops
+        t_compute = flops / peak
+        t_memory = bytes_accessed / self.hbm_bandwidth
+        bound = "compute" if t_compute > t_memory else "memory"
+        return {
+            "compute_ms": t_compute * 1e3,
+            "memory_ms": t_memory * 1e3,
+            "light_speed_ms": max(t_compute, t_memory) * 1e3,
+            "bound": bound,
+            "arithmetic_intensity": flops / max(bytes_accessed, 1),
+        }
+
+
+def cost_analysis(fn: Callable, *args) -> dict:
+    """XLA's own FLOP/byte estimate for a jitted function."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    analyses = compiled.cost_analysis()
+    ca = analyses[0] if isinstance(analyses, (list, tuple)) else analyses
+    return {
+        "flops": ca.get("flops", -1.0),
+        "bytes_accessed": ca.get("bytes accessed", -1.0),
+    }
