@@ -75,3 +75,40 @@ def test_postprocess_matches_python(pipeline_tool, tmp_path, rng):
     # (cv2 uses a different border mode for float); compare interior
     interior = (slice(2, -2), slice(2, -2))
     np.testing.assert_array_equal(got[interior], want[interior])
+
+
+def test_stereo_eval_matches_python(pipeline_tool, tmp_path, rng):
+    """Drive the stereo_eval CLI and check EPE/D1 against utils.metrics."""
+    import subprocess as sp
+    from PIL import Image
+
+    eval_bin = os.path.join(BUILD, "stereo_eval")
+    if not os.path.exists(eval_bin):
+        pytest.skip("stereo_eval not built (OpenCV missing)")
+
+    h, w = 40, 60
+    gt = (rng.random((h, w)).astype(np.float32) * 100.0)
+    gt[:5] = 0.0  # invalid band
+    est = gt + rng.standard_normal((h, w)).astype(np.float32) * 4.0
+    est = np.clip(est, 0, 250)
+
+    est_p, gt_p = tmp_path / "est.png", tmp_path / "gt.png"
+    Image.fromarray((est * 256).astype(np.uint16)).save(est_p)
+    Image.fromarray((gt * 256).astype(np.uint16)).save(gt_p)
+
+    out = sp.run([eval_bin, "--est", str(est_p), "--gt", str(gt_p),
+                  "--err_out", str(tmp_path / "err.png")],
+                 check=True, capture_output=True, text=True).stdout
+    got_epe = float(out.split("EPE")[1].split()[0])
+    got_d1 = float(out.split("D1")[1].split()[0])
+
+    # python reference (quantised to the PNG's 1/256 steps)
+    gq = np.round(gt * 256) / 256.0
+    eq = np.round(est * 256) / 256.0
+    mask = (gq > 0) & (gq < 192)
+    err = np.abs(eq - gq)[mask]
+    want_epe = float(err.mean())
+    want_d1 = float(((err > 3) & (err / gq[mask] > 0.05)).mean())
+    np.testing.assert_allclose(got_epe, want_epe, atol=1e-3)
+    np.testing.assert_allclose(got_d1, want_d1, atol=1e-3)
+    assert (tmp_path / "err.png").exists()
