@@ -38,8 +38,10 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     n = devices.size
     spatial = cfg.spatial
     data = cfg.data if cfg.data != -1 else n // spatial
-    assert data * spatial == n, (data, spatial, n)
-    return Mesh(devices.reshape(data, spatial), ("data", "spatial"))
+    need = data * spatial
+    assert need <= n, (data, spatial, n)
+    return Mesh(devices.ravel()[:need].reshape(data, spatial),
+                ("data", "spatial"))
 
 
 def auto_mesh(batch_size: int, spatial: int = 1, devices=None) -> Mesh | None:

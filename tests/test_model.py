@@ -69,3 +69,18 @@ def test_param_count_reasonable():
     n = sum(int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 2e6 < n < 20e6, n
+
+
+def test_shufflemixer_sr_network():
+    """The standalone ShuffleMixer SR net (unused by ESMStereo but part of
+    the reference surface, shufflemixer.py:135-176)."""
+    from esmstereo_tpu.nn import ShuffleMixerSR
+
+    m = ShuffleMixerSR(n_feats=16, kernel_size=7, n_blocks=1, mlp_ratio=2,
+                       upscaling_factor=4)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 24, 3)),
+                    dtype=jnp.float32)
+    variables = m.init(jax.random.key(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (1, 64, 96, 3)
+    assert bool(jnp.isfinite(y).all())

@@ -41,7 +41,20 @@ def build_config(args):
     )
 
 
-def cpu_devices_if_requested(args) -> None:
+def add_runtime_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the framework's "
+                             "sanitizer mode: fail fast on NaN/Inf)")
+
+
+def apply_runtime_flags(args) -> None:
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
+
+def cpu_devices_if_requested(args) -> None:
+    apply_runtime_flags(args)

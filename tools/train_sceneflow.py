@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 
-from common import add_model_args, build_config
+from common import add_model_args, add_runtime_args, apply_runtime_flags, build_config
 
 
 def parse_args():
@@ -37,14 +37,13 @@ def parse_args():
                    help="mesh 'spatial' axis size (H-sharding)")
     p.add_argument("--fix_cv16_loss", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    add_runtime_args(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    apply_runtime_flags(args)
     import jax
     import numpy as np
 
