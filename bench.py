@@ -65,12 +65,20 @@ def main() -> None:
         except Exception:
             baseline = 0.0
     vs = round(fps / baseline, 4) if baseline > 0 else 1.0
-    print(json.dumps({
+    result = {
         "metric": "fps_per_chip_960x544_b1_fp32",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": vs,
-    }))
+    }
+    print(json.dumps(result))
+    if baseline == 0.0:
+        # record the first measurement as the self-relative baseline
+        try:
+            with open("BENCH_BASELINE.json", "w") as f:
+                json.dump(result, f)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
