@@ -1,0 +1,96 @@
+"""Depth-folded 3-D aggregation hourglass (the TPU fast path).
+
+Same computation and parameter tree as ``models.esmstereo.Aggregation3D``
+(reference semantics ``ESMStereo.py:129-182``) but on the folded
+``(B, H, W, D*C)`` layout, where every 3-D conv becomes a dense 2-D conv
+with a block-banded channel matrix (see ``nn.folded3d`` for why this is
+~10x faster on TPU). Verified numerically equivalent in
+``tests/test_folded_model.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+
+from esmstereo_tpu.nn.folded3d import FoldedConvBlock3D
+
+Array = jax.Array
+
+
+def _crop_folded(x: Array, h: int, w: int, d: int, channels: int) -> Array:
+    """Crop deconv overhang: spatial on dims 1-2, depth via channel blocks
+    (channels are laid out d-major: ``d * C + c``)."""
+    x = x[:, :h, :w]
+    if x.shape[-1] != d * channels:
+        x = x[..., : d * channels]
+    return x
+
+
+class FoldedAggregation3D(nn.Module):
+    """Three-level hourglass on the folded volume.
+
+    Input ``(B, H, W, D * in_channels)``; output ``(B, H*2, W*2, D*2)``
+    (single true channel — the folded channels ARE the disparity bins,
+    which is exactly the disparity-last layout regression wants).
+    """
+
+    in_channels: int
+    add_channel: int
+    depth: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        cin, add, d0 = self.in_channels, self.add_channel, self.depth
+
+        def block(feat, cin_, d_, k, s, p, name, deconv=False, bn=True,
+                  act="gelu"):
+            return FoldedConvBlock3D(
+                feat, cin_, d_, k, s, p, deconv=deconv, bn=bn, act=act,
+                dtype=self.dtype, name=name)
+
+        c1, c2, c3 = cin + add, cin + add * 2, cin + add * 4
+        d1 = (d0 + 1) // 2
+        d2 = (d1 + 1) // 2
+        d3 = (d2 + 1) // 2
+
+        conv1 = block(c1, cin, d0, 3, 2, 1, "conv1_0")(x, train=train)
+        h1, w1 = conv1.shape[1], conv1.shape[2]
+        conv1 = block(c1, c1, d1, 3, 1, 1, "conv1_1")(conv1, train=train)
+
+        conv2 = block(c2, c1, d1, 3, 2, 1, "conv2_0")(conv1, train=train)
+        h2, w2 = conv2.shape[1], conv2.shape[2]
+        conv2 = block(c2, c2, d2, 3, 1, 1, "conv2_1")(conv2, train=train)
+
+        conv3 = block(c3, c2, d2, 3, 2, 1, "conv3_0")(conv2, train=train)
+        conv3 = block(c3, c3, d3, 3, 1, 1, "conv3_1")(conv3, train=train)
+
+        up3 = block(c2, c3, d3, 4, 2, 1, "conv3_up", deconv=True)(
+            conv3, train=train)
+        up3 = _crop_folded(up3, h2, w2, d2, c2)
+        conv2 = _concat_folded(up3, conv2, d2, c2, c2)
+        conv2 = block(c2, 2 * c2, d2, 1, 1, 0, "agg_0_0")(conv2, train=train)
+        conv2 = block(c2, c2, d2, 3, 1, 1, "agg_0_1")(conv2, train=train)
+
+        up2 = block(c1, c2, d2, 4, 2, 1, "conv2_up", deconv=True)(
+            conv2, train=train)
+        up2 = _crop_folded(up2, h1, w1, d1, c1)
+        conv1 = _concat_folded(up2, conv1, d1, c1, c1)
+        conv1 = block(c1, 2 * c1, d1, 1, 1, 0, "agg_1_0")(conv1, train=train)
+        conv1 = block(c1, c1, d1, 3, 1, 1, "agg_1_1")(conv1, train=train)
+
+        return block(1, c1, d1, 4, 2, 1, "conv1_up", deconv=True, bn=False,
+                     act=None)(conv1, train=train)
+
+
+def _concat_folded(a: Array, b: Array, d: int, ca: int, cb: int) -> Array:
+    """Channel-concat per depth block: folded layout is d-major, so a plain
+    channel concat would interleave wrongly — concat inside each d block."""
+    bsz, h, w, _ = a.shape
+    ar = a.reshape(bsz, h, w, d, ca)
+    br = b.reshape(bsz, h, w, d, cb)
+    return jax.numpy.concatenate([ar, br], axis=-1).reshape(
+        bsz, h, w, d * (ca + cb))

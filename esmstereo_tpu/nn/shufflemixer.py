@@ -14,11 +14,36 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from esmstereo_tpu.nn.blocks import TorchConv, apply_act
 from esmstereo_tpu.ops.sampling import pixel_shuffle, resize_bilinear
 
 Array = jax.Array
+
+
+class _Conv1x1Params(nn.Module):
+    """Owns 1x1-conv kernel+bias at the TorchConv-compatible tree path
+    (<name>/Conv_0/{kernel,bias}) so PixelShuffleUp checkpoints stay
+    interchangeable with the naive conv+depth-to-space formulation."""
+
+    shape: tuple
+    uinit: Any
+
+    @nn.compact
+    def __call__(self):
+        return _Conv1x1Leaf(self.shape, self.uinit, name="Conv_0")()
+
+
+class _Conv1x1Leaf(nn.Module):
+    shape: tuple
+    uinit: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.uinit, tuple(self.shape))
+        bias = self.param("bias", self.uinit, (self.shape[-1],))
+        return kernel, bias
 
 
 class ChannelLayerNorm(nn.Module):
@@ -44,12 +69,22 @@ class ChannelLayerNorm(nn.Module):
 
 
 def channel_shuffle(x: Array, groups: int) -> Array:
-    """Rearrange channels ``(g d) -> (d g)`` (``shufflemixer.py:37``)."""
-    b, h, w, c = x.shape
+    """Rearrange channels ``(g d) -> (d g)`` (``shufflemixer.py:37``).
+
+    Implemented as a matmul with a static permutation matrix rather than a
+    reshape/transpose: lane-dimension transposes lower to slow layout
+    copies on TPU, while a (C, C) permutation matmul rides the MXU and
+    fuses into neighbouring ops.
+    """
+    c = x.shape[-1]
     d = c // groups
-    return (x.reshape(b, h, w, groups, d)
-             .transpose(0, 1, 2, 4, 3)
-             .reshape(b, h, w, c))
+    perm = np.empty((c,), np.int64)
+    for j in range(c):
+        dd, g = divmod(j, groups)
+        perm[j] = g * d + dd
+    p = np.zeros((c, c), np.float32)
+    p[perm, np.arange(c)] = 1.0
+    return jnp.einsum("...i,ij->...j", x, jnp.asarray(p, dtype=x.dtype))
 
 
 class SplitPointMlp(nn.Module):
@@ -128,7 +163,16 @@ class FMBlock(nn.Module):
 
 
 class PixelShuffleUp(nn.Module):
-    """1x1 conv -> PixelShuffle(r) -> SiLU (``ESMStereo.py:265-268`` pattern)."""
+    """1x1 conv -> PixelShuffle(r) -> SiLU (``ESMStereo.py:265-268`` pattern).
+
+    Executed as an exactly-equivalent transposed conv (kernel r, stride r):
+    the conv-then-depth-to-space formulation costs a lane-dim transpose
+    (a slow TPU layout copy); reparameterising the same ``(1,1,Ci,Co*r^2)``
+    weights into a ``(r,r,Ci,Co)`` deconv kernel produces identical values
+    on the MXU with no copy. Parameters stay in the torch layout
+    (checkpoint-compatible); the bias becomes the matching per-subpixel
+    pattern. Equivalence is covered by tests/test_shufflemixer_fastpaths.
+    """
 
     dim: int
     factor: int = 2
@@ -136,9 +180,31 @@ class PixelShuffleUp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = TorchConv(self.dim * self.factor ** 2, 1, use_bias=True,
-                      dtype=self.dtype, name="conv")(x)
-        return jax.nn.silu(pixel_shuffle(x, self.factor))
+        r, co = self.factor, self.dim
+        ci = x.shape[-1]
+        fan_in = ci  # 1x1 conv fan-in
+        bound = float(1.0 / np.sqrt(fan_in))
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        holder = _Conv1x1Params((1, 1, ci, co * r * r), uinit, name="conv")
+        w, b = holder()
+
+        # torch pixel-shuffle channel order is (co, ry, rx): output subpixel
+        # (dy, dx) of channel c reads input channel c*r^2 + dy*r + dx.
+        w2 = w[0, 0].reshape(ci, co, r, r).transpose(2, 3, 0, 1)  # (r,r,ci,co)
+        dtype = self.dtype or x.dtype
+        dn = jax.lax.conv_dimension_numbers(x.shape, w2.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), jnp.flip(w2, axis=(0, 1)).astype(dtype),
+            (1, 1), [(r - 1, r - 1)] * 2, lhs_dilation=(r, r),
+            dimension_numbers=dn)
+        h, wdt = y.shape[1], y.shape[2]
+        bias_pat = jnp.tile(b.reshape(co, r, r).transpose(1, 2, 0),
+                            (h // r, wdt // r, 1))
+        return jax.nn.silu(y + bias_pat.astype(dtype))
 
 
 class ShuffleMixerSR(nn.Module):

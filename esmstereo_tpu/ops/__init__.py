@@ -3,8 +3,10 @@
 from esmstereo_tpu.ops.cost_volume import (
     build_concat_volume,
     build_gwc_volume,
+    build_gwc_volume_folded,
     build_gwc_volume_norm,
     build_norm_correlation_volume,
+    build_norm_correlation_volume_folded,
     build_subtract_volume,
     groupwise_correlation,
     groupwise_correlation_norm,
@@ -30,8 +32,10 @@ from esmstereo_tpu.ops.sampling import (
 __all__ = [
     "build_concat_volume",
     "build_gwc_volume",
+    "build_gwc_volume_folded",
     "build_gwc_volume_norm",
     "build_norm_correlation_volume",
+    "build_norm_correlation_volume_folded",
     "build_subtract_volume",
     "groupwise_correlation",
     "groupwise_correlation_norm",

@@ -146,6 +146,25 @@ def build_subtract_volume(ref: Array, tgt: Array, max_disp: int,
     return jnp.stack(per_d, axis=1)
 
 
+def build_gwc_volume_folded(ref: Array, tgt: Array, max_disp: int,
+                            num_groups: int) -> Array:
+    """Group-wise correlation volume in the depth-folded layout
+    ``(B, H, W, D*G)`` (d-major channels) — the TPU fast path that feeds
+    ``nn.folded3d`` convolutions without any transpose."""
+    b, h, w, _ = ref.shape
+    per_d = [groupwise_correlation(ref, s, num_groups)
+             for s in _shifted(tgt, max_disp)]
+    return jnp.stack(per_d, axis=-2).reshape(b, h, w, max_disp * num_groups)
+
+
+def build_norm_correlation_volume_folded(ref: Array, tgt: Array,
+                                         max_disp: int) -> Array:
+    """Channel-normalised correlation volume, folded ``(B, H, W, D)``."""
+    b, h, w, _ = ref.shape
+    per_d = [norm_correlation(ref, s) for s in _shifted(tgt, max_disp)]
+    return jnp.stack(per_d, axis=-2).reshape(b, h, w, max_disp)
+
+
 def build_concat_volume(ref: Array, tgt: Array, max_disp: int) -> Array:
     """Concatenation volume ``(B, D, H, W, 2C)``.
 
