@@ -83,3 +83,21 @@ def test_odd_depth_roundtrip(rng):
     assert got.shape == want.shape == (1, 2, 3, 3, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("deconv,kernel,stride,padding", [
+    (False, 3, 1, 1), (False, 3, 2, 1), (True, 4, 2, 1),
+])
+def test_depth_blocked_matches_dense(rng, deconv, kernel, stride, padding):
+    """depth_block tiling is exact vs the single dense band."""
+    d, c = 24, 4
+    v = jnp.asarray(rng.standard_normal((1, 6, 8, d * c)), jnp.float32)
+    dense = FoldedConvBlock3D(5, c, d, kernel, stride, padding,
+                              deconv=deconv, depth_block=None)
+    blocked = FoldedConvBlock3D(5, c, d, kernel, stride, padding,
+                                deconv=deconv, depth_block=7)
+    variables = dense.init(jax.random.key(2), v, train=False)
+    want = dense.apply(variables, v, train=False)
+    got = blocked.apply(variables, v, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
