@@ -53,6 +53,11 @@ class ESMStereoConfig:
     # the MXU; the folded block-banded 2-D formulation measures ~10x
     # faster per op on v5e. Numerically equivalent, parameter-compatible.
     fold_depth: bool = True
+    # Execute the ESM upsampler's half/full-resolution stages in phase
+    # space on the 1/4 base grid (models.phased_upsample; cv4 + eval mode
+    # only). Exact for eval; train mode always uses the reference layout.
+    # Measured on v5e at 544x960: 29.7 -> 24.3 ms/frame.
+    phase_fold_upsample: bool = True
     # Run the siamese towers (backbone, FeatUp, stems, descriptors) on the
     # concatenated [left; right] batch instead of two separate passes:
     # halves the number of small-conv dispatches. Eval-mode numerics are
@@ -252,7 +257,8 @@ class SpxBlock(nn.Module):
         x = TorchConv(self.out, 3, 1, 1, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
-        return jax.nn.gelu(x, approximate=False)
+        from esmstereo_tpu.nn.blocks import apply_act
+        return apply_act(x, "gelu")
 
 
 class _UpStage(nn.Module):
@@ -479,7 +485,12 @@ class ESMStereo(nn.Module):
         # --- initial disparity + ESM upsampling -------------------------
         if v == 4:
             init_pred = ops.regression_topk(cost, None, 2)
-            disp_1, disp_2 = Upsample4(dtype=dtype, name="upsample_module")(
+            if cfg.phase_fold_upsample and not train:
+                from esmstereo_tpu.models.phased_upsample import PhUpsample4
+                ups_cls = PhUpsample4
+            else:
+                ups_cls = Upsample4
+            disp_1, disp_2 = ups_cls(dtype=dtype, name="upsample_module")(
                 fl[1], fl[0], stems_l[0], init_pred, train=train)
             outs = [disp_1, disp_2]
         elif v == 8:

@@ -28,12 +28,24 @@ def _tuple(v, n: int) -> tuple[int, ...]:
     return (v,) * n
 
 
+# Global numerics switch: the reference uses exact-erf GELU everywhere
+# (torch nn.GELU() default). The erf transcendentals cost ~3.7 ms/frame on
+# the VPU at 544x960; the tanh approximation recovers that for a <1e-3
+# activation difference. Parity default: exact. Enable via
+# set_gelu_approximate(True) or the CLIs' --fast_gelu flag.
+GELU_APPROXIMATE = False
+
+
+def set_gelu_approximate(enabled: bool) -> None:
+    global GELU_APPROXIMATE
+    GELU_APPROXIMATE = enabled
+
+
 def apply_act(x: Array, act: str | None) -> Array:
     if act is None:
         return x
     if act == "gelu":
-        # torch nn.GELU() default = exact erf formulation
-        return jax.nn.gelu(x, approximate=False)
+        return jax.nn.gelu(x, approximate=GELU_APPROXIMATE)
     if act == "relu":
         return jax.nn.relu(x)
     if act == "relu6":
