@@ -53,10 +53,10 @@ class ESMStereoConfig:
     # the MXU; the folded block-banded 2-D formulation measures ~10x
     # faster per op on v5e. Numerically equivalent, parameter-compatible.
     fold_depth: bool = True
-    # Execute the ESM upsampler's half/full-resolution stages in phase
-    # space on the 1/4 base grid (models.phased_upsample; cv4 + eval mode
-    # only). Exact for eval; train mode always uses the reference layout.
-    # Measured on v5e at 544x960: 29.7 -> 24.3 ms/frame.
+    # Execute the ESM upsampler's sub-grid-resolution stages in phase
+    # space on the cost-volume base grid (models.phased_upsample; eval
+    # mode; all cv scales). Exact for eval; train mode always uses the
+    # reference layout. Measured on v5e at 544x960 (L): 29.7 -> 24.3 ms.
     phase_fold_upsample: bool = True
     # Run the siamese towers (backbone, FeatUp, stems, descriptors) on the
     # concatenated [left; right] batch instead of two separate passes:
@@ -483,9 +483,10 @@ class ESMStereo(nn.Module):
             cost = cost[..., 0]  # (B, D, H/v, W/v)
 
         # --- initial disparity + ESM upsampling -------------------------
+        phased = cfg.phase_fold_upsample and not train
         if v == 4:
             init_pred = ops.regression_topk(cost, None, 2)
-            if cfg.phase_fold_upsample and not train:
+            if phased:
                 from esmstereo_tpu.models.phased_upsample import PhUpsample4
                 ups_cls = PhUpsample4
             else:
@@ -495,8 +496,13 @@ class ESMStereo(nn.Module):
             outs = [disp_1, disp_2]
         elif v == 8:
             init_pred = ops.disparity_regression(cost, num_bins)
-            disp_1, disp_2, disp_4 = Upsample8(dtype=dtype,
-                                               name="upsample_module")(
+            if phased:
+                from esmstereo_tpu.models.phased_upsample import PhUpsample8
+                ups_cls = PhUpsample8
+            else:
+                ups_cls = Upsample8
+            disp_1, disp_2, disp_4 = ups_cls(dtype=dtype,
+                                             name="upsample_module")(
                 fl[2], fl[1], fl[0], stems_l[0], init_pred, train=train)
             outs = [disp_1, disp_2, disp_4]
         else:
@@ -505,7 +511,12 @@ class ESMStereo(nn.Module):
                 fl[3], train=train)
             f0 = ConvBlock(24, 3, 1, 1, dtype=dtype, name="conv_f0")(
                 fl[0], train=train)
-            disp_1, disp_2 = Upsample16(dtype=dtype, name="upsample_module")(
+            if phased:
+                from esmstereo_tpu.models.phased_upsample import PhUpsample16
+                ups_cls = PhUpsample16
+            else:
+                ups_cls = Upsample16
+            disp_1, disp_2 = ups_cls(dtype=dtype, name="upsample_module")(
                 fl[2], f2, fl[1], f0, init_pred, train=train)
             outs = [disp_1, disp_2]
 

@@ -437,3 +437,256 @@ class PhUpsample4(nn.Module):
         up4 = PhUpStage4x(dtype=self.dtype, name="stage4x")(
             up2, f2x, f4x, train=train)
         return from_phases(up4, 4), from_phases(up2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Generalised phase machinery: arbitrary phase depth (covers Upsample8/16)
+# ---------------------------------------------------------------------------
+
+
+class PhPixelShuffleUpG(nn.Module):
+    """PixelShuffleUp with arbitrary shuffle factor in phase space."""
+
+    dim: int
+    in_channels: int
+    factor: int
+    p_in: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        r, co, ci, p = self.factor, self.dim, self.in_channels, self.p_in
+        bound = float(1.0 / np.sqrt(ci))
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w, b = _KernelParams((1, 1, ci, co * r * r), uinit, bias=True,
+                             bias_init=uinit, name="conv")()
+        y = phase_conv(x, w, "conv", 0, p, p, dtype=self.dtype)
+        y = _add_phase_bias(y, b, p)
+        perm = _shuffle_perm(co, r, p)
+        y = jnp.einsum("...i,ij->...j", y, jnp.asarray(perm, y.dtype))
+        return jax.nn.silu(y)
+
+
+def _fine_bilinear(disp_ph: Array, p_in: int, scale: int) -> Array:
+    """Bilinear x``scale`` of a 1-channel phased disparity via a fine-level
+    round trip (cheap: single-channel tensors)."""
+    fine = from_phases(disp_ph, p_in) if p_in > 1 else disp_ph
+    h, w = fine.shape[1] * scale, fine.shape[2] * scale
+    up = ops.resize_bilinear(fine, (h, w))
+    return to_phases(up, p_in * scale)
+
+
+class PhUpRefinementG(nn.Module):
+    """UpRefinement at arbitrary disparity phase depth ``p`` (power of 2).
+
+    Levels run at phases p, p/2, p/4, p/8; once phases hit 1 the remaining
+    levels use plain spatial stride-2 convs below the base grid (with the
+    reference's deconv crop). ``f1`` joins at the conv2 level, ``f2`` at
+    the conv1 level; their phase counts must match those levels.
+    """
+
+    channels: int
+    p: int
+    f1_phases: int
+    f1_channels: int
+    f2_phases: int
+    f2_channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, disp_ph: Array, f1: Array, f2: Array,
+                 *, train: bool = False) -> Array:
+        c, p0 = self.channels, self.p
+        dt = self.dtype
+
+        def down(x, cin, p_in, name):
+            """stride-2 conv pair entering the next level."""
+            if p_in > 1:
+                y = PhConvBlock(c, cin, 3, 1, p_in, p_in // 2, dtype=dt,
+                                name=f"{name}_0")(x, train=train)
+                p_out = p_in // 2
+                y2 = PhConvBlock(c, c, 3, 1, p_out, p_out, dtype=dt,
+                                 name=f"{name}_1")(y, train=train)
+            else:
+                y = ConvBlock(c, 3, 2, 1, dtype=dt,
+                              name=f"{name}_0")(x, train=train)
+                p_out = 1
+                y2 = ConvBlock(c, 3, 1, 1, dtype=dt,
+                               name=f"{name}_1")(y, train=train)
+            return y2, p_out
+
+        conv1, p1 = down(disp_ph, 1, p0, "conv1")
+        conv2, p2 = down(conv1, c, p1, "conv2")
+        conv3, p3 = down(conv2, c, p2, "conv3")
+
+        def up(x, p_in, p_target, target, name, features, bn=True,
+               act="gelu"):
+            """deconv k4 s2 back up one level (phase or spatial)."""
+            if p_target > p_in or p_in > 1:
+                return PhConvBlock(features, c, 4, 1, p_in, p_in * 2,
+                                   mode="deconv", bn=bn, act=act, dtype=dt,
+                                   name=name)(x, train=train)
+            y = ConvBlock(features, 4, 2, 1, deconv=True, bn=bn, act=act,
+                          dtype=dt, name=name)(x, train=train)
+            if target is not None:
+                y = y[:, :target.shape[1], :target.shape[2]]
+            return y
+
+        # conv3 -> conv2 level
+        if p3 == p2:  # spatial stride below base: plain deconv + crop
+            conv3_up = up(conv3, 1, 1, conv2, "conv3_up", c)
+        else:
+            conv3_up = PhConvBlock(c, c, 4, 1, p3, p2, mode="deconv",
+                                   dtype=dt, name="conv3_up")(
+                conv3, train=train)
+        assert self.f1_phases == p2, (self.f1_phases, p2)
+        if p2 == 1:
+            cat2 = jnp.concatenate([conv3_up, conv2, f1], axis=-1)
+            agg = ConvBlock(c, 1, 1, 0, dtype=dt, name="agg_0_0")(
+                cat2, train=train)
+            conv2m = ConvBlock(c, 3, 1, 1, dtype=dt, name="agg_0_1")(
+                agg, train=train)
+        else:
+            cat2 = _phase_cat(_phase_cat(conv3_up, conv2, p2, c, c), f1, p2,
+                              2 * c, self.f1_channels)
+            agg = PhConvBlock(c, 2 * c + self.f1_channels, 1, 0, p2, p2,
+                              dtype=dt, name="agg_0_0")(cat2, train=train)
+            conv2m = PhConvBlock(c, c, 3, 1, p2, p2, dtype=dt,
+                                 name="agg_0_1")(agg, train=train)
+
+        # conv2 -> conv1 level
+        if p1 == p2:  # spatial
+            conv2_up = up(conv2m, 1, 1, None, "conv2_up", c)
+        else:
+            conv2_up = PhConvBlock(c, c, 4, 1, p2, p1, mode="deconv",
+                                   dtype=dt, name="conv2_up")(
+                conv2m, train=train)
+        assert self.f2_phases == p1, (self.f2_phases, p1)
+        if p1 == 1:
+            cat1 = jnp.concatenate([conv2_up, conv1, f2], axis=-1)
+            agg1 = ConvBlock(c, 1, 1, 0, dtype=dt, name="agg_1_0")(
+                cat1, train=train)
+            conv1m = ConvBlock(c, 3, 1, 1, dtype=dt, name="agg_1_1")(
+                agg1, train=train)
+        else:
+            cat1 = _phase_cat(_phase_cat(conv2_up, conv1, p1, c, c), f2, p1,
+                              2 * c, self.f2_channels)
+            agg1 = PhConvBlock(c, 2 * c + self.f2_channels, 1, 0, p1, p1,
+                               dtype=dt, name="agg_1_0")(cat1, train=train)
+            conv1m = PhConvBlock(c, c, 3, 1, p1, p1, dtype=dt,
+                                 name="agg_1_1")(agg1, train=train)
+
+        return PhConvBlock(1, c, 4, 1, p1, p0, mode="deconv", bn=False,
+                           act=None, dtype=dt, name="conv1_up")(
+            conv1m, train=train)
+
+
+class PhUpStageG(nn.Module):
+    """Generalised phase-folded _UpStage (see esmstereo._UpStage)."""
+
+    dm_ch: int
+    spx_out: int
+    n_feats: int
+    shuffle: int
+    ref_ch: int
+    use_mixer: bool
+    p: int                # disparity input phases (1 = plain base grid)
+    fuse_ch: int
+    f1_phases: int
+    f1_channels: int
+    f2_phases: int
+    f2_channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, disp_ph: Array, fuse_ph: Array, f1: Array, f2: Array,
+                 *, train: bool = False) -> Array:
+        from esmstereo_tpu.models.esmstereo import DispFeatures, SpxBlock
+        from esmstereo_tpu.nn.blocks import TorchConv
+        from esmstereo_tpu.nn.shufflemixer import FMBlock
+
+        dt, p = self.dtype, self.p
+        if p == 1:
+            d = DispFeatures(self.dm_ch, dtype=dt, name="dm")(
+                disp_ph, train=train)
+            x = SpxBlock(self.dm_ch, self.spx_out, dtype=dt, name="spx")(
+                jnp.concatenate([d, fuse_ph], axis=-1), train=train)
+        else:
+            d = PhDispFeatures(self.dm_ch, p, dtype=dt, name="dm")(
+                disp_ph, train=train)
+            x = PhSpx(self.dm_ch, self.spx_out, self.dm_ch + self.fuse_ch,
+                      p, dtype=dt, name="spx")(
+                _phase_cat(d, fuse_ph, p, self.dm_ch, self.fuse_ch),
+                train=train)
+        if self.use_mixer:
+            assert p == 1
+            x = TorchConv(self.n_feats, 3, 1, 1, dtype=dt, name="to_feat")(x)
+            x = FMBlock(self.n_feats, 7, 2, dtype=dt, name="block0")(x)
+            x = FMBlock(self.n_feats, 7, 2, dtype=dt, name="block1")(x)
+        x = PhPixelShuffleUpG(self.n_feats, x.shape[-1] // max(p * p, 1),
+                              self.shuffle, p, dtype=dt, name="up")(x)
+        p_out = p * self.shuffle
+        x = PhConv(1, self.n_feats, 3, 1, p_out, p_out, use_bias=True,
+                   flat=True, dtype=dt, name="tail")(x)
+        x = PhUpRefinementG(self.ref_ch, p_out, self.f1_phases,
+                            self.f1_channels, self.f2_phases,
+                            self.f2_channels, dtype=dt, name="ref")(
+            x, f1, f2, train=train)
+        return _fine_bilinear(disp_ph, p, self.shuffle) + x
+
+
+class PhUpsample8(nn.Module):
+    """Phase-folded twin of ``Upsample8`` (cv8 / M variant, eval path)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, f2x: Array, f4x: Array, f8x: Array, stem2: Array,
+                 init_disp: Array, *, train: bool = False):
+        dt = self.dtype
+        # base grid = 1/8. f2x: x16' @1/16 (sub-base plain); f4x: x8' @base;
+        # f8x: x4 raw @1/4 (p2); stem2 @1/2 (p4).
+        f8x_ph = to_phases(f8x, 2)
+        stem_ph = to_phases(stem2, 4)
+        up2 = PhUpStageG(16, 16, 8, 2, 16, True, 1, f4x.shape[-1],
+                         1, f2x.shape[-1], 1, f4x.shape[-1], dtype=dt,
+                         name="stage2x")(
+            init_disp, f4x, f2x, f4x, train=train)
+        up4 = PhUpStageG(16, 8, 8, 2, 16, False, 2, f8x.shape[-1],
+                         1, f4x.shape[-1], 2, f8x.shape[-1], dtype=dt,
+                         name="stage4x")(
+            up2, f8x_ph, f4x, f8x_ph, train=train)
+        up8 = PhUpStageG(16, 8, 8, 2, 16, False, 4, stem2.shape[-1],
+                         2, f8x.shape[-1], 4, stem2.shape[-1], dtype=dt,
+                         name="stage8x")(
+            up4, stem_ph, f8x_ph, stem_ph, train=train)
+        return (from_phases(up8, 8), from_phases(up4, 4),
+                from_phases(up2, 2))
+
+
+class PhUpsample16(nn.Module):
+    """Phase-folded twin of ``Upsample16`` (cv16 / S variant, eval path)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, f1x: Array, f2x: Array, f4x: Array, f8x: Array,
+                 init_disp: Array, *, train: bool = False):
+        dt = self.dtype
+        # base grid = 1/16. f1x: x8 feats @1/8 (p2); f2x: f2 conv @base;
+        # f4x: x4 feats @1/4 (p4); f8x: f0 conv @1/2 (p8).
+        f1x_ph = to_phases(f1x, 2)
+        f4x_ph = to_phases(f4x, 4)
+        f8x_ph = to_phases(f8x, 8)
+        up2 = PhUpStageG(16, 16, 8, 4, 16, True, 1, f2x.shape[-1],
+                         1, f2x.shape[-1], 2, f1x.shape[-1], dtype=dt,
+                         name="stage2x")(
+            init_disp, f2x, f2x, f1x_ph, train=train)
+        up4 = PhUpStageG(16, 8, 8, 4, 16, False, 4, f4x.shape[-1],
+                         4, f4x.shape[-1], 8, f8x.shape[-1], dtype=dt,
+                         name="stage4x")(
+            up2, f4x_ph, f4x_ph, f8x_ph, train=train)
+        return from_phases(up4, 16), from_phases(up2, 4)

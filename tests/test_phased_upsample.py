@@ -45,3 +45,55 @@ def test_full_model_with_phase_fold(rng):
     got = m_ph.apply(variables, left, right, train=False)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=5e-3)
+
+
+def test_phased_upsample8_matches_reference_module(rng):
+    from esmstereo_tpu.models.esmstereo import Upsample8
+    from esmstereo_tpu.models.phased_upsample import PhUpsample8
+
+    H8, W8 = 8, 12  # base (1/8) grid
+    f2x = jnp.asarray(rng.standard_normal((1, H8 // 2, W8 // 2, 240)),
+                      jnp.float32)  # x16' @1/16
+    f4x = jnp.asarray(rng.standard_normal((1, H8, W8, 96)), jnp.float32)
+    f8x = jnp.asarray(rng.standard_normal((1, H8 * 2, W8 * 2, 24)),
+                      jnp.float32)  # x4 raw @1/4
+    stem2 = jnp.asarray(rng.standard_normal((1, H8 * 4, W8 * 4, 32)),
+                        jnp.float32)
+    init = jnp.asarray(rng.random((1, H8, W8, 1)) * 10, jnp.float32)
+
+    ref = Upsample8()
+    ph = PhUpsample8()
+    variables = ref.init(jax.random.key(0), f2x, f4x, f8x, stem2, init,
+                         train=False)
+    wants = ref.apply(variables, f2x, f4x, f8x, stem2, init, train=False)
+    gots = ph.apply(variables, f2x, f4x, f8x, stem2, init, train=False)
+    for i, (g, w) in enumerate(zip(gots, wants)):
+        assert g.shape == w.shape, (i, g.shape, w.shape)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3, err_msg=str(i))
+
+
+def test_phased_upsample16_matches_reference_module(rng):
+    from esmstereo_tpu.models.esmstereo import Upsample16
+    from esmstereo_tpu.models.phased_upsample import PhUpsample16
+
+    H16, W16 = 4, 6  # base (1/16) grid
+    f1x = jnp.asarray(rng.standard_normal((1, H16 * 2, W16 * 2, 32)),
+                      jnp.float32)   # x8 feats @1/8
+    f2x = jnp.asarray(rng.standard_normal((1, H16, W16, 32)), jnp.float32)
+    f4x = jnp.asarray(rng.standard_normal((1, H16 * 4, W16 * 4, 24)),
+                      jnp.float32)   # x4 feats @1/4
+    f8x = jnp.asarray(rng.standard_normal((1, H16 * 8, W16 * 8, 24)),
+                      jnp.float32)   # f0 conv @1/2
+    init = jnp.asarray(rng.random((1, H16, W16, 1)) * 6, jnp.float32)
+
+    ref = Upsample16()
+    ph = PhUpsample16()
+    variables = ref.init(jax.random.key(0), f1x, f2x, f4x, f8x, init,
+                         train=False)
+    wants = ref.apply(variables, f1x, f2x, f4x, f8x, init, train=False)
+    gots = ph.apply(variables, f1x, f2x, f4x, f8x, init, train=False)
+    for i, (g, w) in enumerate(zip(gots, wants)):
+        assert g.shape == w.shape, (i, g.shape, w.shape)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3, err_msg=str(i))
