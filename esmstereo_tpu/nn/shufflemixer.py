@@ -60,12 +60,16 @@ class ChannelLayerNorm(nn.Module):
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mu) / jnp.sqrt(var + 1e-5) * weight
+        # Statistics in fp32 even under a bf16 compute dtype (matches
+        # flax.linen.LayerNorm's default promotion); output returns to
+        # the input dtype.
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mu) / jnp.sqrt(var + 1e-5) * weight
         if self.bias:
             y = y + self.param("bias", nn.initializers.zeros, (dim,))
-        return y
+        return y.astype(x.dtype)
 
 
 def channel_shuffle(x: Array, groups: int) -> Array:

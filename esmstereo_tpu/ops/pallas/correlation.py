@@ -60,8 +60,138 @@ def _corr_kernel(ref_ref, tgt_ref, gmat_ref, out_ref, *, max_disp: int,
         start = max_disp - 1 - i - di * td
         shifted = tgt_ref[0, :, pl.ds(start, w), :].reshape(th * w, c)
         prod = refs2d * shifted
-        cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32)
+        cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         out_ref[0, i] = cost.reshape(th, w, -1).astype(out_ref.dtype)
+
+
+def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
+                        max_disp: int, td: int):
+    """Grid cell = (batch, row-block, disparity-block): emits one folded
+    channel-block of ``td * G`` lanes (d-major, matching ``nn.folded3d``).
+
+    All ``td`` planes are concatenated in registers and stored once, so the
+    lane dimension is written in full tiles instead of ``G``-wide masked
+    stores. The target (left-padded by ``max_disp`` columns on the host) is
+    loaded once per grid cell at a sublane-ALIGNED offset — Mosaic rejects
+    unaligned dynamic sublane loads for 16-bit dtypes — and the per-d
+    shifts are realised as static ``pltpu.roll`` + slice, which is a cheap
+    register shuffle. Rolling left by ``k <= td`` only wraps columns into
+    positions ``>= w``, which the ``[:, :w]`` slice discards.
+    """
+    ref = ref_ref[0]            # (TH, W, C)
+    gmat = gmat_ref[...]        # (C, G)
+    di = pl.program_id(2)
+    th, w, c = ref.shape
+    refs2d = ref.reshape(th * w, c)
+    # window start must be a sublane multiple: td is either a multiple of 8
+    # (with max_disp % 8 == 0) or equals max_disp (start == 0). See caller.
+    wstart = max_disp - (di + 1) * td
+    window = tgt_ref[0, :, pl.ds(wstart, w + td), :]   # (TH, W+td, C)
+    planes = []
+    for i in range(td):
+        # d = di * td + i lives at window column offset td - i; roll is
+        # circular and requires a non-negative shift, so the left-roll by
+        # (td - i) is a right-roll by w + i. Positions [0, w) then hold
+        # window[j + td - i] with no wrap-around contamination.
+        shifted = pltpu.roll(window, shift=w + i, axis=1)[:, :w, :]
+        prod = refs2d * shifted.reshape(th * w, c)
+        cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        planes.append(cost.reshape(th, w, -1))
+    out_ref[0] = jnp.concatenate(planes, axis=-1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
+                                             "normalize"))
+def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
+                              num_groups: int,
+                              normalize: bool = False) -> Array:
+    """Depth-folded cost volume ``(B, H, W, D*G)`` via one Pallas pass.
+
+    Counterpart of ``ops.build_gwc_volume_folded`` /
+    ``ops.build_norm_correlation_volume_folded`` (reference math
+    ``submodule.py:143-161,187-200``). The jnp formulation makes XLA
+    materialize a re-laid-out copy of the feature map per disparity shift
+    (~0.5 GB of layout copies per frame at 544x960 L); here each row-block
+    of both feature maps is read once and every disparity plane is computed
+    in VMEM and stored once, d-major, exactly as ``FoldedConvBlock3D``
+    consumes it.
+    """
+    b, h, w, c = ref.shape
+    assert c % num_groups == 0, (c, num_groups)
+    cpg = c // num_groups
+    out_dtype = ref.dtype
+
+    # Kernel-internal compute is fp32: Mosaic rejects sub-128-lane bf16
+    # vector loads (C=64 here), and the op is WRITE-bound (D*G lanes out
+    # per C in) so only the output dtype matters for bandwidth. The
+    # upcast fuses into the pad/producer.
+    ref = ref.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+
+    if normalize:
+        def l2n(x):
+            xg = x.reshape(b, h, w, num_groups, cpg)
+            n = jnp.linalg.norm(xg, axis=-1, keepdims=True)
+            return (xg / (n + _EPS)).reshape(b, h, w, c)
+        ref, tgt = l2n(ref), l2n(tgt)
+
+    gmat = np.zeros((c, num_groups), np.float32)
+    for ch in range(c):
+        gmat[ch, ch // cpg] = 1.0 / cpg
+    gmat = jnp.asarray(gmat)
+
+    # Pad by a full max_disp (not max_disp - 1) so the per-block window
+    # start ``max_disp - (di+1)*td`` is sublane-aligned (see kernel).
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
+
+    itemsize = out_dtype.itemsize
+    budget = 4 * 1024 * 1024
+    th = _pick_block(h, 4)
+    # Valid disparity tiles: td | max_disp, and the window start
+    # ``max_disp - (di+1)*td`` must be a sublane multiple for every di —
+    # guaranteed by 8 | td (with 8 | max_disp), or trivially by
+    # td == max_disp (single block, start 0). Among those, prefer the
+    # largest that fits the VMEM budget and fills >=128 lanes.
+    per_plane = th * w * max(num_groups, 1) * itemsize
+    target = max(1, budget // max(per_plane, 1))
+    valid = [t for t in range(1, max_disp + 1)
+             if max_disp % t == 0
+             and (t == max_disp or (t % 8 == 0 and max_disp % 8 == 0))]
+    fitting = [t for t in valid if t <= target and t * num_groups >= 128]
+    if not fitting:  # small G: take the widest block the budget allows
+        fitting = [t for t in valid if t <= target] or [min(valid)]
+    td = max(fitting)
+
+    out_shape = jax.ShapeDtypeStruct((b, h, w, max_disp * num_groups),
+                                     out_dtype)
+    grid = (b, h // th, max_disp // td)
+    wp = w + max_disp
+    bytes_acc = (th * w * c + th * wp * c) * itemsize * (max_disp // td) \
+        + max_disp * th * w * num_groups * itemsize
+
+    return pl.pallas_call(
+        functools.partial(_corr_kernel_folded, max_disp=max_disp, td=td),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, c), lambda bi, hi, di: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, num_groups), lambda bi, hi, di: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, td * num_groups),
+                               lambda bi, hi, di: (bi, hi, 0, di),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * max_disp * c,
+            bytes_accessed=bytes_acc * b * (h // th),
+            transcendentals=0,
+        ),
+    )(ref, tgt_pad, gmat)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
@@ -77,12 +207,18 @@ def correlation_volume(ref: Array, tgt: Array, max_disp: int,
     b, h, w, c = ref.shape
     assert c % num_groups == 0, (c, num_groups)
     cpg = c // num_groups
+    out_dtype = ref.dtype
+
+    # fp32 kernel internals (Mosaic rejects sub-128-lane bf16 loads);
+    # output keeps the caller's dtype — see correlation_volume_folded.
+    ref = ref.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
 
     if normalize:
         def l2n(x):
             xg = x.reshape(b, h, w, num_groups, cpg)
             n = jnp.linalg.norm(xg, axis=-1, keepdims=True)
-            return ((xg / (n + _EPS)).reshape(b, h, w, c)).astype(x.dtype)
+            return (xg / (n + _EPS)).reshape(b, h, w, c)
         ref, tgt = l2n(ref), l2n(tgt)
 
     # group-indicator matrix: mean over each group's channels
@@ -96,13 +232,13 @@ def correlation_volume(ref: Array, tgt: Array, max_disp: int,
     # VMEM budget: the G lane dim pads to 128, so size blocks assuming
     # lanes=max(G, 128). Keep the double-buffered output tile under ~4 MB.
     lanes = max(num_groups, 128)
-    itemsize = ref.dtype.itemsize
+    itemsize = out_dtype.itemsize
     budget = 4 * 1024 * 1024
     th = _pick_block(h, 2)
     td = _pick_block(max_disp, max(1, budget // (th * w * lanes * itemsize)))
 
     out_shape = jax.ShapeDtypeStruct((b, max_disp, h, w, num_groups),
-                                     ref.dtype)
+                                     out_dtype)
     grid = (b, h // th, max_disp // td)
     wp = w + max_disp - 1
     bytes_acc = (th * w * c + th * wp * c) * itemsize \

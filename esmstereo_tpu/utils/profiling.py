@@ -48,6 +48,48 @@ def time_fn(fn: Callable, *args, warmup: int = 10, reps: int = 100) -> dict:
     }
 
 
+def chained_scan_time_ms(apply_fn: Callable, variables, left, right,
+                         reps: int = 20) -> float:
+    """Per-frame device time via iterations chained inside one jit.
+
+    On remotely-attached (tunneled) TPUs ``block_until_ready`` does not
+    reliably block, so per-call wall timing measures dispatch rate. This
+    harness chains ``reps+1`` forward passes inside a single jit with a
+    data dependency between iterations (the disparity output perturbs the
+    next left image by a factor of 1e-30), anchors completion with a D2H
+    transfer, and reports ``(t(N) - t(1)) / (N - 1)`` — which also cancels
+    the host round-trip. See BASELINE.md "Measurement methodology".
+
+    ``apply_fn(variables, left, right) -> disp (B, H, W)`` must be pure.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_long = reps + 1
+
+    def chained(v, l, r, n):
+        def body(carry, _):
+            li, ri = carry
+            d = apply_fn(v, li, ri)
+            l2 = li + (d * 1e-30)[..., None].astype(li.dtype)
+            return (l2, ri), ()
+
+        (lf, _), _ = jax.lax.scan(body, (l, r), None, length=n)
+        return lf[0, 0, 0]
+
+    times = {}
+    for n in (n_long, 1):
+        f = jax.jit(chained, static_argnums=3)
+        np.asarray(f(variables, left, right, n))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(variables, left, right, n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return max((times[n_long] - times[1]) / reps, 1e-9) * 1e3
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a device trace: ``with trace('/tmp/trace'): fn()``.

@@ -1,0 +1,65 @@
+"""bfloat16 compute-path tests.
+
+The bf16 mode is the TPU counterpart of the reference's fp16 TensorRT
+deployment engines (``StereoModel_576_960_fp16.plan``, SURVEY §2.2/N4):
+params stay float32, module compute runs in bfloat16, and the disparity
+regression + residual stream stay float32 (see ESMStereo.__call__).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esmstereo_tpu.data.synthetic import make_batch
+from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+from esmstereo_tpu.train.state import create_train_state, make_optimizer
+from esmstereo_tpu.train.step import make_train_step
+
+
+def _to_jax(batch):
+    return {k: (jnp.asarray(v) if not isinstance(v, list)
+                else [jnp.asarray(x) for x in v]) for k, v in batch.items()}
+
+
+def test_bf16_forward_close_to_fp32():
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+
+    m32 = ESMStereo(config=ESMStereoConfig(cv_scale=4,
+                                           backbone="mobilenetv2_100"))
+    v = m32.init(jax.random.key(0), left, right, train=False)
+    d32 = np.asarray(m32.apply(v, left, right, train=False)[0], np.float32)
+
+    m16 = ESMStereo(config=ESMStereoConfig(cv_scale=4,
+                                           backbone="mobilenetv2_100",
+                                           dtype=jnp.bfloat16))
+    d16 = m16.apply(v, left, right, train=False)[0]
+    # regression boundary + residual stream keep the output float32
+    assert d16.dtype == jnp.float32
+    a16 = np.asarray(d16, np.float32)
+    # random-init nets amplify rounding; a trained net is far tighter. The
+    # mean bound catches dtype plumbing mistakes (a bf16 regression sum
+    # quantizes to ~0.25 px immediately).
+    assert np.abs(d32 - a16).mean() < 0.5, np.abs(d32 - a16).mean()
+
+
+def test_bf16_train_step_overfits():
+    cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100",
+                          dtype=jnp.bfloat16)
+    model = ESMStereo(config=cfg)
+    rng = np.random.default_rng(0)
+    batch = _to_jax(make_batch(rng, batch=1, h=64, w=64, disp_range=(4, 10)))
+
+    state = create_train_state(model, jax.random.key(0), batch,
+                               make_optimizer("adamw", 1e-3))
+    # params must stay float32 under a bf16 compute dtype
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    step = jax.jit(make_train_step(model), donate_argnums=(0,))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.8, losses

@@ -59,3 +59,22 @@ def test_bf16_output_dtype(feats):
     want = ops.build_gwc_volume(ref, tgt, D, 4)
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want), rtol=0.05, atol=0.05)
+
+
+def test_folded_gwc_matches_jnp(feats):
+    ref, tgt = feats
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.correlation_volume_folded(ref, tgt, D, 4)
+    want = ops.build_gwc_volume_folded(ref, tgt, D, 4)
+    assert got.shape == want.shape == (B, H, W, D * 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_norm_correlation_matches_jnp(feats):
+    ref, tgt = feats
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.correlation_volume_folded(ref, tgt, D, 1, normalize=True)
+    want = ops.build_norm_correlation_volume_folded(ref, tgt, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

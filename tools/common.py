@@ -28,9 +28,18 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     # kept for backwards compatibility; the fused path is now the default
     parser.add_argument("--no_pallas", action="store_true",
                         help=argparse.SUPPRESS)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype (params stay float32; bfloat16 "
+                             "doubles MXU throughput, counterpart of the "
+                             "reference's fp16 TensorRT deployment engines). "
+                             "Disparity regression and the residual stream "
+                             "always run in float32.")
 
 
 def build_config(args):
+    import jax.numpy as jnp
+
     from esmstereo_tpu.models import ESMStereoConfig
     return ESMStereoConfig(
         max_disp=args.maxdisp,
@@ -38,6 +47,7 @@ def build_config(args):
         backbone=args.backbone,
         cv_scale=args.cv_scale,
         use_pallas=args.pallas and not args.no_pallas,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
     )
 
 
