@@ -66,40 +66,51 @@ def _corr_kernel(ref_ref, tgt_ref, gmat_ref, out_ref, *, max_disp: int,
 
 
 def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
-                        max_disp: int, td: int):
+                        max_disp: int, td: int, pack: int):
     """Grid cell = (batch, row-block, disparity-block): emits one folded
     channel-block of ``td * G`` lanes (d-major, matching ``nn.folded3d``).
 
-    All ``td`` planes are concatenated in registers and stored once, so the
-    lane dimension is written in full tiles instead of ``G``-wide masked
-    stores. The target (left-padded by ``max_disp`` columns on the host) is
-    loaded once per grid cell at a sublane-ALIGNED offset — Mosaic rejects
+    ``pack`` disparity shifts are concatenated along lanes and contracted
+    in ONE matmul against a block-diagonal group matrix: a single-shift
+    matmul is (TH*W, C) @ (C, G) = K=64, N=32 for the gwc config — ~12%
+    of the MXU's 128x128 tile. Packing four shifts makes it (TH*W, 4C) @
+    (4C, 4G) = K=256, N=128 — full lanes, identical math (the off-diagonal
+    blocks are structural zeros, and adding 0.0 terms is exact in fp32).
+    Measured 544x960 L fp32: 1.65 -> 0.64 ms.
+
+    The target (left-padded by ``max_disp`` columns on the host) is loaded
+    once per grid cell at a sublane-ALIGNED offset — Mosaic rejects
     unaligned dynamic sublane loads for 16-bit dtypes — and the per-d
     shifts are realised as static ``pltpu.roll`` + slice, which is a cheap
     register shuffle. Rolling left by ``k <= td`` only wraps columns into
     positions ``>= w``, which the ``[:, :w]`` slice discards.
     """
     ref = ref_ref[0]            # (TH, W, C)
-    gmat = gmat_ref[...]        # (C, G)
+    gmat = gmat_ref[...]        # (pack*C, pack*G) block-diagonal
     di = pl.program_id(2)
     th, w, c = ref.shape
     refs2d = ref.reshape(th * w, c)
+    ref_tile = jnp.concatenate([refs2d] * pack, axis=-1)  # (TH*W, pack*C)
     # window start must be a sublane multiple: td is either a multiple of 8
     # (with max_disp % 8 == 0) or equals max_disp (start == 0). See caller.
     wstart = max_disp - (di + 1) * td
     window = tgt_ref[0, :, pl.ds(wstart, w + td), :]   # (TH, W+td, C)
-    planes = []
-    for i in range(td):
-        # d = di * td + i lives at window column offset td - i; roll is
-        # circular and requires a non-negative shift, so the left-roll by
-        # (td - i) is a right-roll by w + i. Positions [0, w) then hold
-        # window[j + td - i] with no wrap-around contamination.
-        shifted = pltpu.roll(window, shift=w + i, axis=1)[:, :w, :]
-        prod = refs2d * shifted.reshape(th * w, c)
+    blocks = []
+    for j in range(td // pack):
+        shifts = []
+        for i in range(j * pack, (j + 1) * pack):
+            # d = di * td + i lives at window column offset td - i; roll is
+            # circular and requires a non-negative shift, so the left-roll
+            # by (td - i) is a right-roll by w + i. Positions [0, w) then
+            # hold window[col + td - i] with no wrap-around contamination.
+            shifted = pltpu.roll(window, shift=w + i, axis=1)[:, :w, :]
+            shifts.append(shifted.reshape(th * w, c))
+        prod = ref_tile * jnp.concatenate(shifts, axis=-1)
+        # d-major within the pack: plane i occupies lanes [i*G, (i+1)*G)
         cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        planes.append(cost.reshape(th, w, -1))
-    out_ref[0] = jnp.concatenate(planes, axis=-1).astype(out_ref.dtype)
+        blocks.append(cost.reshape(th, w, -1))
+    out_ref[0] = jnp.concatenate(blocks, axis=-1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
@@ -137,11 +148,6 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
             return (xg / (n + _EPS)).reshape(b, h, w, c)
         ref, tgt = l2n(ref), l2n(tgt)
 
-    gmat = np.zeros((c, num_groups), np.float32)
-    for ch in range(c):
-        gmat[ch, ch // cpg] = 1.0 / cpg
-    gmat = jnp.asarray(gmat)
-
     # Pad by a full max_disp (not max_disp - 1) so the per-block window
     # start ``max_disp - (di+1)*td`` is sublane-aligned (see kernel).
     tgt_pad = jnp.pad(tgt, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
@@ -164,6 +170,17 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
         fitting = [t for t in valid if t <= target] or [min(valid)]
     td = max(fitting)
 
+    # Shifts per matmul: fill the MXU's 128 output lanes (pack*G) without
+    # letting the contraction side (pack*C) grow past 512.
+    pack = max(p for p in range(1, td + 1)
+               if td % p == 0 and p * num_groups <= 128 and p * c <= 512)
+
+    gmat = np.zeros((pack * c, pack * num_groups), np.float32)
+    for i in range(pack):
+        for ch in range(c):
+            gmat[i * c + ch, i * num_groups + ch // cpg] = 1.0 / cpg
+    gmat = jnp.asarray(gmat)
+
     out_shape = jax.ShapeDtypeStruct((b, h, w, max_disp * num_groups),
                                      out_dtype)
     grid = (b, h // th, max_disp // td)
@@ -172,14 +189,16 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
         + max_disp * th * w * num_groups * itemsize
 
     return pl.pallas_call(
-        functools.partial(_corr_kernel_folded, max_disp=max_disp, td=td),
+        functools.partial(_corr_kernel_folded, max_disp=max_disp, td=td,
+                          pack=pack),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, wp, c), lambda bi, hi, di: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, num_groups), lambda bi, hi, di: (0, 0),
+            pl.BlockSpec((pack * c, pack * num_groups),
+                         lambda bi, hi, di: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, w, td * num_groups),
