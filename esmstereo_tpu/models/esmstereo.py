@@ -66,6 +66,15 @@ class ESMStereoConfig:
     # per-call stats — a tiny, arguably beneficial deviation (the running
     # averages converge to the same values).
     siamese_batch: bool = True
+    # Execute the backbone's sub-1/4-resolution stages and the stem_2/
+    # stem_4 stacks in phase space on the 1/4 base grid
+    # (backbones.phased): the fine-grid stages run 16-32 channels at
+    # 12-25% VPU lane utilization and their depthwise convs lower to slow
+    # grouped convolutions; space-to-depth runs them dense at full lanes
+    # (measured v5e 544x960: backbone 12.2 -> ~5 ms). Exact; eval mode
+    # with siamese_batch and /4-divisible inputs only (falls back
+    # otherwise).
+    phase_fold_towers: bool = True
     # Use the Pallas materializing correlation kernel in the UNFOLDED
     # path instead of the jnp shift-slice formulation (the folded path
     # has its own volume builder). Opt-in: XLA fuses the jnp volume into
@@ -99,11 +108,10 @@ class ESMStereoConfig:
 
 def _mul_att_folded(volume: Array, att: Array, depth: int) -> Array:
     """Broadcast-multiply a (B,H,W,C) attention map over the folded
-    (B,H,W,D*C) volume's depth blocks (``ESMStereo.py:703,711``)."""
-    b, h, w, dc = volume.shape
-    c = dc // depth
-    out = volume.reshape(b, h, w, depth, c) * att[:, :, :, None, :]
-    return out.reshape(b, h, w, dc)
+    (B,H,W,D*C) volume's depth blocks (``ESMStereo.py:703,711``). Tiling
+    the attention map across the d-major lanes avoids splitting the lane
+    dimension (a relayout copy on TPU)."""
+    return volume * jnp.tile(att, (1, 1, 1, depth))
 
 
 def _crop_like(x: Array, ref_arr: Array) -> Array:
@@ -374,7 +382,18 @@ class ESMStereo(nn.Module):
         chans = ARCHS[cfg.backbone].chans
         dtype = cfg.dtype
 
-        feature = FeaturePyramid(arch=cfg.backbone, dtype=dtype, name="feature")
+        phased_towers = (cfg.phase_fold_towers and not train
+                         and cfg.siamese_batch
+                         and left.shape[1] % 4 == 0
+                         and left.shape[2] % 4 == 0)
+        if phased_towers:
+            from esmstereo_tpu.backbones.phased import (PhasedFeaturePyramid,
+                                                        PhasedStemBlock)
+            feature = PhasedFeaturePyramid(arch=cfg.backbone, dtype=dtype,
+                                           name="feature")
+        else:
+            feature = FeaturePyramid(arch=cfg.backbone, dtype=dtype,
+                                     name="feature")
         bsz = left.shape[0]
         if cfg.siamese_batch:
             both = jnp.concatenate([left, right], axis=0)
@@ -398,7 +417,24 @@ class ESMStereo(nn.Module):
         # --- stems + matching descriptors -------------------------------
         stem_chs = {4: (32, 48), 8: (32, 48, 64), 16: (16, 24, 32, 40)}[v]
         stems_l, stems_r = [], []
-        if cfg.siamese_batch:
+        if cfg.siamese_batch and phased_towers:
+            from esmstereo_tpu.nn.phasefold import from_phases, to_phases
+            x = to_phases(both, 4)
+            p, cin = 4, both.shape[-1]
+            for i, sc in enumerate(stem_chs):
+                name = f"stem_{2 ** (i + 1)}"
+                if p > 1:
+                    x = PhasedStemBlock(sc, cin, p, dtype=dtype,
+                                        name=name)(x, train=train)
+                    p //= 2
+                    fine = from_phases(x, p) if p > 1 else x
+                else:
+                    x = StemBlock(sc, dtype=dtype, name=name)(x, train=train)
+                    fine = x
+                cin = sc
+                stems_l.append(fine[:bsz])
+                stems_r.append(fine[bsz:])
+        elif cfg.siamese_batch:
             x = both
             for i, sc in enumerate(stem_chs):
                 x = StemBlock(sc, dtype=dtype, name=f"stem_{2 ** (i + 1)}")(

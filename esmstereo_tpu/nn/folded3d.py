@@ -102,10 +102,10 @@ class FoldedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
-        xr = x.reshape(b, h, w, d, c)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            xr = x.reshape(b, h, w, d, c)
             mean = jnp.mean(xr, axis=(0, 1, 2, 3))
             var = jnp.mean(jnp.square(xr), axis=(0, 1, 2, 3)) - mean ** 2
             if not self.is_initializing():
@@ -114,8 +114,11 @@ class FoldedBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (xr - mean) * inv + bias
-        return y.reshape(b, h, w, dc).astype(dtype)
+        # normalise on the folded layout directly (params tiled across the
+        # d blocks): reshaping to (..., d, c) splits the lane dimension,
+        # which costs a relayout copy per BN on TPU
+        y = x * jnp.tile(inv, d) + jnp.tile(bias - mean * inv, d)
+        return y.astype(dtype)
 
 
 class _FoldedKernel(nn.Module):

@@ -179,11 +179,15 @@ def ring_mask(h: int, w: int, p: int, width: int = 1) -> np.ndarray:
 
 
 def apply_ring_mask(x: Array, p: int, mask: np.ndarray) -> Array:
-    """Multiply phase-major channels (B,H,W,p*p*C) by a ring mask."""
+    """Multiply phase-major channels (B,H,W,p*p*C) by a ring mask.
+
+    The per-phase mask is expanded to lane level statically (np.repeat):
+    reshaping the lane dimension to (p*p, C) at runtime costs a relayout
+    copy per call on TPU."""
     b, h, w, pc = x.shape
     c = pc // (p * p)
-    xr = x.reshape(b, h, w, p * p, c)
-    return (xr * jnp.asarray(mask, x.dtype)).reshape(b, h, w, pc)
+    lane_mask = np.repeat(mask[..., 0], c, axis=-1)  # (1, H, W, p*p*C)
+    return x * jnp.asarray(lane_mask, x.dtype)
 
 
 def bilinear2x_kernel(channels: int) -> tuple[np.ndarray, tuple]:

@@ -49,7 +49,8 @@ def chained_time_ms(fn, args, reps: int = 20) -> float:
             # XLA dead-code-eliminate the rest of the stage (this once made
             # the backbone look 4x faster than it is)
             eps = sum(jnp.asarray(l.ravel()[0], jnp.float32)
-                      for l in jax.tree_util.tree_leaves(out)) * 1e-30
+                      for l in jax.tree_util.tree_leaves(out)
+                      if hasattr(l, "ravel")) * 1e-30
             leaves, treedef = jax.tree_util.tree_flatten(carry)
             leaves = [leaves[0] + eps.astype(leaves[0].dtype)] + leaves[1:]
             return jax.tree_util.tree_unflatten(treedef, leaves), ()
