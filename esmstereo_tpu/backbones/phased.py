@@ -7,13 +7,21 @@ grouped convolutions. Measured on v5e at 544x960 (batch-2 siamese): the
 backbone costs 12.2 ms of a 24 ms frame, 3.4 ms of it in stage0's two
 DS blocks alone.
 
-Space-to-depth fixes both: fold the fine grid into channel phases on the
-1/4 base grid (``nn.phasefold``), so stage0/1 tensors carry ``4*C``
-lanes, the depthwise convs become dense phase-mixing convs on the MXU
-(measured 0.27 -> 0.03 ms per conv), and every elementwise op runs at
-full lane width. All transforms are exact (see tests/test_phased_backbone
-.py); parameter trees are path-compatible with ``FeaturePyramid`` /
-``StemBlock`` so the same checkpoint drives either path.
+Space-to-depth folds the fine grid into channel phases on the 1/4 base
+grid (``nn.phasefold``), so stage0/1 tensors carry ``4*C`` lanes, the
+depthwise convs become dense phase-mixing convs on the MXU, and every
+elementwise op runs at full lane width. All transforms are exact (see
+tests/test_phased_backbone.py); parameter trees are path-compatible with
+``FeaturePyramid`` / ``StemBlock`` so the same checkpoint drives either
+path.
+
+MEASURED OUTCOME (v5e, 544x960, batch-2 siamese, fp32): net LOSS.
+Isolated: pyramid 12.9 ms phased vs 12.5 plain (the densified depthwise
+convs pay C x the MACs, dominated by the mid=96 stage-1 block); stems
+1.7 vs 2.2 ms. Full model: 27.0 ms vs 23.0 ms plain — boundary
+relayouts at the phase<->fine seams eat the residual win. Kept as an
+opt-in experiment (``ESMStereoConfig.phase_fold_towers``, default
+False); a future Pallas depthwise kernel could revisit the premise.
 
 Reference mapping: the plain modules mirror timm blocks sliced by the
 reference ``Feature`` (``/root/reference/models/ESMStereo.py:40-77``); the

@@ -68,13 +68,14 @@ class ESMStereoConfig:
     siamese_batch: bool = True
     # Execute the backbone's sub-1/4-resolution stages and the stem_2/
     # stem_4 stacks in phase space on the 1/4 base grid
-    # (backbones.phased): the fine-grid stages run 16-32 channels at
-    # 12-25% VPU lane utilization and their depthwise convs lower to slow
-    # grouped convolutions; space-to-depth runs them dense at full lanes
-    # (measured v5e 544x960: backbone 12.2 -> ~5 ms). Exact; eval mode
+    # (backbones.phased). Exact and param-compatible, but OFF by default:
+    # measured on v5e at 544x960 L the full model runs 23.0 ms plain vs
+    # 27.0 ms phased — densifying the depthwise kernels onto the MXU
+    # costs Cx the MACs (mid=96 blocks dominate) and boundary relayouts
+    # eat the stems' 0.5 ms win. Kept as a tested experiment; eval mode
     # with siamese_batch and /4-divisible inputs only (falls back
     # otherwise).
-    phase_fold_towers: bool = True
+    phase_fold_towers: bool = False
     # Use the Pallas materializing correlation kernel in the UNFOLDED
     # path instead of the jnp shift-slice formulation (the folded path
     # has its own volume builder). Opt-in: XLA fuses the jnp volume into
