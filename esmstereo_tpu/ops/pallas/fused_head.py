@@ -98,6 +98,15 @@ def _act(x: Array, act: str) -> Array:
     raise ValueError(act)
 
 
+def _roll(x: Array, m: int, interpret: bool) -> Array:
+    """Circular lane roll with no wrap masking: callers must zero the
+    boundary-pixel taps statically (see prepare_consts) so the wrapped
+    lanes are multiplied by zero."""
+    if interpret:
+        return jnp.roll(x, m, axis=1)
+    return pltpu.roll(x, m % x.shape[-1], axis=1)
+
+
 def _shift_flat(x: Array, m: int, interpret: bool) -> Array:
     """Shift a flat (R, W*C) row block by ``m`` lanes (one pixel = C
     lanes), zero-filling the wrapped column. m > 0 pulls from lower w."""
@@ -116,8 +125,8 @@ def _dw3x3(x_ext: Array, taps_ref, bias_ref, m: int, rows: int, lead: int,
            interpret: bool) -> Array:
     """Depthwise 3x3 stride-1 on flat rows: output rows [lead, lead+rows)
     of the extended window ``x_ext`` (in window-row coordinates)."""
-    xp = _shift_flat(x_ext, m, interpret)    # kw=0 tap reads w-1
-    xm = _shift_flat(x_ext, -m, interpret)   # kw=2 tap reads w+1
+    xp = _roll(x_ext, m, interpret)    # kw=0 tap reads w-1
+    xm = _roll(x_ext, -m, interpret)   # kw=2 tap reads w+1
     acc = jnp.broadcast_to(bias_ref[...], (rows, x_ext.shape[-1]))
     acc = acc.astype(jnp.float32)
     for kh in range(3):
@@ -128,13 +137,21 @@ def _dw3x3(x_ext: Array, taps_ref, bias_ref, m: int, rows: int, lead: int,
     return acc
 
 
-def _pw(x: Array, bd_ref, bias_ref) -> Array:
-    """Pointwise conv as a block-diagonal MXU matmul on flat rows."""
+def _pw(x: Array, bd_ref, bias_ref, bf16: bool = False) -> Array:
+    """Pointwise conv as a block-diagonal MXU matmul on flat rows.
+
+    ``bf16`` casts both operands to bfloat16 (fp32 accumulate): one MXU
+    pass instead of three — the plain XLA path converts conv operands to
+    bf16 under default precision too, so parity is unaffected."""
     r, wm = x.shape
     gin, gout = bd_ref.shape
     g = wm // gin
+    lhs = x.reshape(r * g, gin)
+    rhs = bd_ref[...]
+    if bf16:
+        lhs, rhs = lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16)
     y = jax.lax.dot_general(
-        x.reshape(r * g, gin), bd_ref[...],
+        lhs, rhs,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return y.reshape(r, g * gout) + bias_ref[...]
@@ -247,15 +264,18 @@ def fused_stage0_apply(img: Array, consts: dict, *, tile_rows: int = 16,
             """
             rows = tr + 4
             acc = None
+            mm_dt = jnp.float32 if interpret else jnp.bfloat16
             for kh, src in ((0, od_win[0:rows]), (1, ev_win[0:rows]),
                             (2, od_win[1:rows + 1])):
                 s = _shift_flat(src, 8, interpret)
                 y = jax.lax.dot_general(
-                    src.reshape(rows * g8, 128), bd0_ref[kh],
+                    src.reshape(rows * g8, 128).astype(mm_dt),
+                    bd0_ref[...][kh].astype(mm_dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 y = y + jax.lax.dot_general(
-                    s.reshape(rows * g8, 128), bd1_ref[kh],
+                    s.reshape(rows * g8, 128).astype(mm_dt),
+                    bd1_ref[...][kh].astype(mm_dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = y if acc is None else acc + y
@@ -275,7 +295,7 @@ def fused_stage0_apply(img: Array, consts: dict, *, tile_rows: int = 16,
             a = block0_act(tr + 2, 1)
             if blk0.has_se:
                 a = a * g0[...]
-            y = _pw(a, bda_ref, pba_ref)
+            y = _pw(a, bda_ref, pba_ref, bf16=not interpret)
             return _row_mask(y, r0, 1, h)
 
         # ---- phase 0: accumulate block-0 SE channel sums -----------------
@@ -350,7 +370,7 @@ def fused_stage0_apply(img: Array, consts: dict, *, tile_rows: int = 16,
                 a1 = _act(d1, act)
                 if blk1.has_se:
                     a1 = a1 * g1[...]
-                y1 = _pw(a1, bdb_ref, pbb_ref)
+                y1 = _pw(a1, bdb_ref, pbb_ref, bf16=not interpret)
                 if blk1.residual:
                     y1 = y1 + y0w[8:tr + 8]
                 o_win[0:tr] = y1
@@ -450,8 +470,11 @@ def prepare_consts(params: dict, stats: dict, *, act: str,
         dw = p["conv_dw"]["Conv_0"]["kernel"].astype(jnp.float32)[:, :, 0]
         s1, t1 = bn(p["bn1"], st["bn1"])
         taps = dw * s1[None, None]
-        taps = jnp.broadcast_to(taps[:, :, None, :], (3, 3, w, cin)).reshape(
-            9, w * cin)
+        taps = jnp.broadcast_to(taps[:, :, None, :], (3, 3, w, cin))
+        # zero boundary-pixel taps: the kernel's lane rolls wrap around the
+        # row, so kw!=1 taps must vanish at the first/last pixel
+        taps = taps.at[:, 0, 0, :].set(0.0).at[:, 2, w - 1, :].set(0.0)
+        taps = taps.reshape(9, w * cin)
         dw_bias = jnp.broadcast_to(t1[None], (w, cin)).reshape(1, w * cin)
         has_se = "se" in p
         if has_se:
