@@ -57,19 +57,23 @@ class _ConvParams(nn.Module):
 
     shape: tuple
     bias: bool = False
+    init: str = "msra"
 
     @nn.compact
     def __call__(self):
-        return _ConvLeaf(self.shape, self.bias, name="Conv_0")()
+        return _ConvLeaf(self.shape, self.bias, self.init, name="Conv_0")()
 
 
 class _ConvLeaf(nn.Module):
     shape: tuple
     bias: bool
+    init: str = "msra"
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", tinit.msra_out, tuple(self.shape))
+        init_fn = {"msra": tinit.msra_out,
+                   "torch": tinit.torch_conv_kernel}[self.init]
+        kernel = self.param("kernel", init_fn, tuple(self.shape))
         tree = {"kernel": kernel}
         if self.bias:
             kh, kw, ci, co = self.shape
@@ -217,3 +221,51 @@ class _SEParams(nn.Module):
             "conv_expand": {"Conv_0": _ConvParams(
                 (1, 1, self.red, self.cin), bias=True, name="conv_expand")()},
         }
+
+
+class _ConvBlockParams(nn.Module):
+    """ConvBlock (conv + bn) parameter tree at matching paths."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        conv = {"Conv_0": _ConvParams(self.shape, init="torch",
+                                      name="conv")()}
+        bnp, bns = _BNParams(self.shape[-1], name="bn")()
+        return {"conv": conv, "bn": bnp}, {"bn": bns}
+
+
+class StemBlockParams(nn.Module):
+    """Parameter tree of one StemBlock (nn/blocks.py:277-294) without
+    executing it — used by the fused stem kernel path."""
+
+    features: int
+    in_chs: int
+
+    @nn.compact
+    def __call__(self):
+        cd_p, cd_s = _ConvBlockParams((3, 3, self.in_chs, self.features),
+                                      name="conv_down")()
+        params: dict = {"conv_down": cd_p}
+        stats: dict = {"conv_down": cd_s}
+        params["conv"] = {"Conv_0": _ConvParams(
+            (3, 3, self.features, self.features), init="torch",
+            name="conv")()}
+        params["bn"], stats["bn"] = _BNParams(self.features, name="bn")()
+        return params, stats
+
+
+def reference_stem_eval(x: Array, params: dict, stats: dict) -> Array:
+    """Functional eval-mode StemBlock (init/CPU fallback)."""
+    k = params["conv_down"]["conv"]["Conv_0"]["kernel"]
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, k, (2, 2), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn)
+    y = jax.nn.gelu(_bn_eval(y, params["conv_down"]["bn"],
+                             stats["conv_down"]["bn"]), approximate=False)
+    k2 = params["conv"]["Conv_0"]["kernel"]
+    y = jax.lax.conv_general_dilated(y, k2, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn)
+    return jax.nn.relu(_bn_eval(y, params["bn"], stats["bn"]))

@@ -84,6 +84,15 @@ class ESMStereoConfig:
     # FeaturePyramid); falls back for training, CPU, or inputs not
     # divisible by (16, 32).
     fuse_backbone_head: bool = True
+    # Execute the stem_2 + stem_4 matching towers as one Pallas kernel
+    # (ops.pallas.fused_stems). OFF by default: measured 2.82 ms fused vs
+    # 2.12 ms plain at 544x960 on v5e — the stems are dense 3x3 convs and
+    # the kernel's block-diagonal matmuls pay a 4-8x structural MAC waste
+    # that XLA's native convs do not (contrast with fuse_backbone_head,
+    # where the depthwise section's MXU was idle). Kept as a tested
+    # opt-in; remaining stems (cv8/cv16) stay plain on top of the fused
+    # stem_4 output.
+    fuse_stems: bool = False
     # Use the Pallas materializing correlation kernel in the UNFOLDED
     # path instead of the jnp shift-slice formulation (the folded path
     # has its own volume builder). Opt-in: XLA fuses the jnp volume into
@@ -452,12 +461,47 @@ class ESMStereo(nn.Module):
                 stems_l.append(fine[:bsz])
                 stems_r.append(fine[bsz:])
         elif cfg.siamese_batch:
-            x = both
-            for i, sc in enumerate(stem_chs):
-                x = StemBlock(sc, dtype=dtype, name=f"stem_{2 ** (i + 1)}")(
-                    x, train=train)
-                stems_l.append(x[:bsz])
-                stems_r.append(x[bsz:])
+            from esmstereo_tpu.ops.pallas.fused_stems import stems_supported
+            fused_stems = (cfg.fuse_stems and not train
+                           and stems_supported(left.shape[1], left.shape[2],
+                                               stem_chs[0], stem_chs[1]))
+            if fused_stems:
+                from esmstereo_tpu.backbones.fused import (StemBlockParams,
+                                                           reference_stem_eval)
+                from esmstereo_tpu.ops.pallas import fused_stems as _fst
+                p2, s2st = StemBlockParams(stem_chs[0], both.shape[-1],
+                                           name="stem_2")()
+                p4, s4st = StemBlockParams(stem_chs[1], stem_chs[0],
+                                           name="stem_4")()
+                bf = jnp.asarray(both, jnp.float32)
+                if (self.is_initializing()
+                        or jax.default_backend() == "cpu"):
+                    s2x = reference_stem_eval(bf, p2, s2st)
+                    s4x = reference_stem_eval(s2x, p4, s4st)
+                else:
+                    consts = _fst.prepare_stems_consts(
+                        {"stem_2": p2, "stem_4": p4},
+                        {"stem_2": s2st, "stem_4": s4st},
+                        w_img=both.shape[2], f2=stem_chs[0],
+                        f4=stem_chs[1])
+                    s2x, s4x = _fst.fused_stems_apply(bf, consts)
+                out_dt = dtype or both.dtype
+                x = s4x.astype(out_dt)
+                for s in (s2x.astype(out_dt), x):
+                    stems_l.append(s[:bsz])
+                    stems_r.append(s[bsz:])
+                for i, sc in enumerate(stem_chs[2:], start=2):
+                    x = StemBlock(sc, dtype=dtype,
+                                  name=f"stem_{2 ** (i + 1)}")(x, train=train)
+                    stems_l.append(x[:bsz])
+                    stems_r.append(x[bsz:])
+            else:
+                x = both
+                for i, sc in enumerate(stem_chs):
+                    x = StemBlock(sc, dtype=dtype,
+                                  name=f"stem_{2 ** (i + 1)}")(x, train=train)
+                    stems_l.append(x[:bsz])
+                    stems_r.append(x[bsz:])
         else:
             x_l, x_r = left, right
             for i, sc in enumerate(stem_chs):

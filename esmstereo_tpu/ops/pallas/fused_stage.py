@@ -47,10 +47,14 @@ passes per phase), while XLA computes each op once and its 1.5 ms already
 sits on the HBM roofline. Unlike the small-channel DS head (where lane
 padding made XLA's traffic 8x the useful bytes), IR stages are
 elementwise-work-bound: removing HBM traffic cannot beat the VPU floor.
-The kernel is kept as a tested building block: the single-phase no-SE
-chain (MobileNetV2 stages) avoids all recompute and remains a candidate;
-a spill-mid-activations redesign would cap recompute at 1x but only
-reaches parity with XLA. NOT integrated into the model by default.
+The single-phase no-SE chain (MobileNetV2) also loses — XLA fuses those
+cleanly already (mnv2 stage1 0.47 ms plain vs 1.55 ms fused; stage2
+effectively free under XLA). A spill-mid-activations redesign would cap
+recompute at 1x but only reach parity. Conclusion: Pallas fusion pays
+only where XLA's layout padding inflates traffic well beyond useful
+bytes (the 16-32 channel head); dense IR stages are best left to XLA.
+NOT integrated into the model; kept as a tested building block with the
+measurement record.
 """
 
 from __future__ import annotations
