@@ -4,6 +4,13 @@ Counterpart of the reference's latency harness
 (``train_sceneflow.py:254-275``) at the driver's 960x540 target (padded to
 960x544 for /32 divisibility, as every reference eval path pads to /32).
 
+Precision: bfloat16 compute (params float32, regression boundary and
+disparity residual stream float32) — the TPU counterpart of the
+reference's fp16 TensorRT deployment engines
+(``virtual_kitti_publisher/launch/...launch.py:17`` loads
+``StereoModel_576_960_fp16.plan``; accuracy deviation is bounded in
+tests/test_bf16.py). Set BENCH_DTYPE=float32 for the fp32 number.
+
 Methodology note (important on remotely-attached TPUs): N forward passes
 are chained *inside one jit* via ``lax.scan`` with a data dependency
 between iterations, and completion is anchored by a device-to-host
@@ -28,6 +35,7 @@ import numpy as np
 
 H, W = 544, 960
 N = int(os.environ.get("BENCH_REPS", "20")) + 1
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def _chained_time(model, variables, left, right, n: int) -> float:
@@ -63,10 +71,13 @@ def main() -> None:
     except Exception:
         pass
 
+    import jax.numpy as jnp
+
     from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
 
     cfg = ESMStereoConfig(cv_scale=4, backbone="efficientnet_b2",
-                          cost_volume="gwc")
+                          cost_volume="gwc",
+                          dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
     model = ESMStereo(config=cfg)
 
     rng = np.random.default_rng(0)
@@ -91,7 +102,8 @@ def main() -> None:
             baseline = 0.0
     vs = round(fps / baseline, 4) if baseline > 0 else 1.0
     result = {
-        "metric": "fps_per_chip_960x544_b1_fp32",
+        "metric": "fps_per_chip_960x544_b1_"
+                  + ("bf16" if DTYPE == "bfloat16" else "fp32"),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": vs,
