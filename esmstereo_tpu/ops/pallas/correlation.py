@@ -107,8 +107,18 @@ def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
             shifts.append(shifted.reshape(th * w, c))
         prod = ref_tile * jnp.concatenate(shifts, axis=-1)
         # d-major within the pack: plane i occupies lanes [i*G, (i+1)*G)
-        cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        if out_ref.dtype == jnp.bfloat16:
+            # bf16 output: quantize the products (not just the result) and
+            # run a single-pass bf16 MXU dot — matches the plain jnp path,
+            # where bf16 descriptors multiply in bf16 before the group
+            # mean. fp32 HIGHEST dots cost ~6 MXU passes and dominated the
+            # kernel (0.94 -> ~0.4 ms at 544x960 L).
+            cost = jnp.dot(prod.astype(jnp.bfloat16),
+                           gmat.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            cost = jnp.dot(prod, gmat, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         blocks.append(cost.reshape(th, w, -1))
     out_ref[0] = jnp.concatenate(blocks, axis=-1).astype(out_ref.dtype)
 
