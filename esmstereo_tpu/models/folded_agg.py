@@ -15,7 +15,10 @@ from typing import Any
 import flax.linen as nn
 import jax
 
+import jax.numpy as jnp
+
 from esmstereo_tpu.nn.folded3d import FoldedConvBlock3D
+from esmstereo_tpu.nn.phasefold import interleave_indices
 
 Array = jax.Array
 
@@ -47,10 +50,10 @@ class FoldedAggregation3D(nn.Module):
         cin, add, d0 = self.in_channels, self.add_channel, self.depth
 
         def block(feat, cin_, d_, k, s, p, name, deconv=False, bn=True,
-                  act="gelu"):
+                  act="gelu", **kw):
             return FoldedConvBlock3D(
                 feat, cin_, d_, k, s, p, deconv=deconv, bn=bn, act=act,
-                dtype=self.dtype, name=name)
+                dtype=self.dtype, name=name, **kw)
 
         c1, c2, c3 = cin + add, cin + add * 2, cin + add * 4
         d1 = (d0 + 1) // 2
@@ -71,26 +74,25 @@ class FoldedAggregation3D(nn.Module):
         up3 = block(c2, c3, d3, 4, 2, 1, "conv3_up", deconv=True)(
             conv3, train=train)
         up3 = _crop_folded(up3, h2, w2, d2, c2)
-        conv2 = _concat_folded(up3, conv2, d2, c2, c2)
-        conv2 = block(c2, 2 * c2, d2, 1, 1, 0, "agg_0_0")(conv2, train=train)
+        # plain lane concat; the depth-interleave is folded into the
+        # 1x1x1 conv's (block-diagonal) channel matrix — a runtime
+        # lane-splitting reshape would cost a relayout copy per call
+        conv2 = jnp.concatenate([up3, conv2], axis=-1)
+        conv2 = block(c2, 2 * c2, d2, 1, 1, 0, "agg_0_0", depth_block=None,
+                      in_perm=interleave_indices(d2, [c2, c2]))(
+            conv2, train=train)
         conv2 = block(c2, c2, d2, 3, 1, 1, "agg_0_1")(conv2, train=train)
 
         up2 = block(c1, c2, d2, 4, 2, 1, "conv2_up", deconv=True)(
             conv2, train=train)
         up2 = _crop_folded(up2, h1, w1, d1, c1)
-        conv1 = _concat_folded(up2, conv1, d1, c1, c1)
-        conv1 = block(c1, 2 * c1, d1, 1, 1, 0, "agg_1_0")(conv1, train=train)
+        conv1 = jnp.concatenate([up2, conv1], axis=-1)
+        conv1 = block(c1, 2 * c1, d1, 1, 1, 0, "agg_1_0", depth_block=None,
+                      in_perm=interleave_indices(d1, [c1, c1]))(
+            conv1, train=train)
         conv1 = block(c1, c1, d1, 3, 1, 1, "agg_1_1")(conv1, train=train)
 
         return block(1, c1, d1, 4, 2, 1, "conv1_up", deconv=True, bn=False,
                      act=None)(conv1, train=train)
 
 
-def _concat_folded(a: Array, b: Array, d: int, ca: int, cb: int) -> Array:
-    """Channel-concat per depth block: folded layout is d-major, so a plain
-    channel concat would interleave wrongly — concat inside each d block."""
-    bsz, h, w, _ = a.shape
-    ar = a.reshape(bsz, h, w, d, ca)
-    br = b.reshape(bsz, h, w, d, cb)
-    return jax.numpy.concatenate([ar, br], axis=-1).reshape(
-        bsz, h, w, d * (ca + cb))

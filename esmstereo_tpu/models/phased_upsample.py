@@ -32,6 +32,7 @@ from esmstereo_tpu.nn.folded3d import FoldedBatchNorm
 from esmstereo_tpu.nn.phasefold import (
     apply_ring_mask,
     from_phases,
+    interleave_indices,
     phase_conv,
     ring_mask,
     to_phases,
@@ -97,6 +98,7 @@ class PhConv(nn.Module):
     # flat=True: params at <name>/Conv_0/... (bare TorchConv layout);
     # flat=False: <name>/conv/Conv_0/... (ConvBlock's nested layout).
     flat: bool = False
+    in_perm: Any = None  # static lane gather folded into the kernel
     dtype: Any = None
 
     @nn.compact
@@ -124,7 +126,7 @@ class PhConv(nn.Module):
                     (k, k, ci, co), kinit, bias=self.use_bias,
                     bias_init=tinit.torch_conv_bias(fan_in), name="conv")()
         y = phase_conv(x, w, self.mode, self.pad, self.p_in, self.p_out,
-                       dtype=self.dtype)
+                       dtype=self.dtype, in_perm=self.in_perm)
         if b is not None:
             y = _add_phase_bias(y, b, self.p_out)
         return y
@@ -144,6 +146,7 @@ class PhConvBlock(nn.Module):
     bn: bool = True
     act: str | None = "gelu"
     mask: Any = None  # static ring mask or None
+    in_perm: Any = None  # static lane gather folded into the kernel
     dtype: Any = None
 
     @nn.compact
@@ -163,7 +166,7 @@ class PhConvBlock(nn.Module):
             kinit = tinit.torch_conv_kernel
             w, _ = _KernelParams((k, k, ci, co), kinit, name="conv")()
         y = phase_conv(x, w, self.mode, self.pad, self.p_in, self.p_out,
-                       dtype=self.dtype)
+                       dtype=self.dtype, in_perm=self.in_perm)
         if self.bn:
             y = FoldedBatchNorm(co, use_running_average=not train,
                                 dtype=self.dtype, name="bn")(y)
@@ -206,12 +209,14 @@ class PhSpx(nn.Module):
     out: int
     in_channels: int
     p: int
+    in_perm: Any = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
         x = PhConvBlock(self.mid, self.in_channels, 3, 1, self.p, self.p,
-                        dtype=self.dtype, name="conv0")(x, train=train)
+                        in_perm=self.in_perm, dtype=self.dtype,
+                        name="conv0")(x, train=train)
         x = PhConv(self.out, self.mid, 3, 1, self.p, self.p, flat=True,
                    dtype=self.dtype, name="conv1")(x)
         x = FoldedBatchNorm(self.out, use_running_average=not train,
@@ -219,17 +224,23 @@ class PhSpx(nn.Module):
         return apply_act(x, "gelu")
 
 
-def _phase_cat(a: Array, b: Array, p: int, ca: int, cb: int) -> Array:
-    """Concat true channels inside each phase block (phase-major layout)."""
-    bs, h, w, _ = a.shape
-    ar = a.reshape(bs, h, w, p * p, ca)
-    br = b.reshape(bs, h, w, p * p, cb)
-    return jnp.concatenate([ar, br], axis=-1).reshape(bs, h, w, -1)
+def _cat_perm(p: int, *arrays_and_sizes) -> tuple[Array, np.ndarray]:
+    """Plain lane concat of phase-major tensors + the static gather that
+    the NEXT conv folds into its kernel (``phase_conv(in_perm=...)``) to
+    see the phase-interleaved layout. Replaces the old ``_phase_cat``,
+    whose lane-splitting reshapes cost a relayout copy per call on TPU."""
+    arrays = arrays_and_sizes[0::2]
+    sizes = list(arrays_and_sizes[1::2])
+    cat = jnp.concatenate(arrays, axis=-1)
+    return cat, interleave_indices(p * p, sizes)
 
 
-def _shuffle_perm(ci_out: int, r: int, p_in: int) -> np.ndarray:
-    """Channel permutation: phase-major (p, (c, ry, rx)) -> phase-major
-    ((p*r grid), c) after a pixel shuffle by r at the fine level."""
+def _shuffle_perm_idx(ci_out: int, r: int, p_in: int) -> np.ndarray:
+    """Output-lane gather for a pixel shuffle by ``r`` at the fine level:
+    ``y_shuffled = y[..., idx]`` where y is phase-major (p, (c, ry, rx))
+    and the result is phase-major ((p*r grid), c). Folded into the 1x1
+    conv's output channels (``phase_conv(out_perm=...)``) instead of a
+    runtime permutation matmul on the activation."""
     src = []
     for py in range(p_in):
         for px in range(p_in):
@@ -239,11 +250,7 @@ def _shuffle_perm(ci_out: int, r: int, p_in: int) -> np.ndarray:
                         qy, qx = py * r + ry, px * r + rx
                         dst = ((qy * (p_in * r)) + qx) * ci_out + c
                         src.append(dst)
-    n = len(src)
-    perm = np.zeros((n, n), np.float32)
-    for s_idx, d_idx in enumerate(src):
-        perm[s_idx, d_idx] = 1.0
-    return perm
+    return np.argsort(np.asarray(src, np.int64))
 
 
 class PhPixelShuffleUp(nn.Module):
@@ -268,11 +275,11 @@ class PhPixelShuffleUp(nn.Module):
 
         w, b = _KernelParams((1, 1, ci, co * r * r), uinit, bias=True,
                              bias_init=uinit, name="conv")()
-        # block-diagonal 1x1 over phases
-        y = phase_conv(x, w, "conv", 0, p, p, dtype=self.dtype)
-        y = _add_phase_bias(y, b, p)
-        perm = _shuffle_perm(co, r, p)
-        y = jnp.einsum("...i,ij->...j", y, jnp.asarray(perm, y.dtype))
+        # block-diagonal 1x1 over phases; the shuffle permutation is
+        # folded into the kernel's output lanes (free at runtime)
+        idx = _shuffle_perm_idx(co, r, p)
+        y = phase_conv(x, w, "conv", 0, p, p, dtype=self.dtype, out_perm=idx)
+        y = y + jnp.tile(b, p * p)[idx].astype(y.dtype)
         return jax.nn.silu(y)
 
 
@@ -345,8 +352,8 @@ class PhUpRefinement(nn.Module):
                                    dtype=self.dtype,
                                    name="conv2_up")(conv2, train=train)
             assert self.f2_phases == p1
-            cat = _phase_cat(_phase_cat(conv2_up, conv1, p1, c, c), f2, p1,
-                             2 * c, self.f2_channels)
+            cat, cat_perm = _cat_perm(p1, conv2_up, c, conv1, c,
+                                      f2, self.f2_channels)
             cat_p = p1
             in_ch = 2 * c + self.f2_channels
 
@@ -359,7 +366,8 @@ class PhUpRefinement(nn.Module):
                               act=None, dtype=self.dtype,
                               name="conv1_up")(agg1, train=train)
             return out  # phases 2
-        agg1 = PhConvBlock(c, in_ch, 1, 0, cat_p, cat_p, dtype=self.dtype,
+        agg1 = PhConvBlock(c, in_ch, 1, 0, cat_p, cat_p, in_perm=cat_perm,
+                           dtype=self.dtype,
                            name="agg_1_0")(cat, train=train)
         agg1 = PhConvBlock(c, c, 3, 1, cat_p, cat_p, dtype=self.dtype,
                            name="agg_1_1")(agg1, train=train)
@@ -407,9 +415,9 @@ class PhUpStage4x(nn.Module):
         dt = self.dtype
         d4 = PhDispFeatures(32, 2, dtype=dt, name="dm")(up2_ph, train=train)
         f4x_ph = to_phases(f4x, 2)
-        fused = _phase_cat(d4, f4x_ph, 2, 32, f4x.shape[-1])
-        x4 = PhSpx(32, 16, 32 + f4x.shape[-1], 2, dtype=dt, name="spx")(
-            fused, train=train)
+        fused, fperm = _cat_perm(2, d4, 32, f4x_ph, f4x.shape[-1])
+        x4 = PhSpx(32, 16, 32 + f4x.shape[-1], 2, in_perm=fperm, dtype=dt,
+                   name="spx")(fused, train=train)
         x4 = PhPixelShuffleUp(16, 16, 2, dtype=dt, name="up")(x4)
         x4 = PhConv(1, 16, 3, 1, 4, 4, use_bias=True, flat=True, dtype=dt,
                     name="tail")(x4)
@@ -463,10 +471,9 @@ class PhPixelShuffleUpG(nn.Module):
 
         w, b = _KernelParams((1, 1, ci, co * r * r), uinit, bias=True,
                              bias_init=uinit, name="conv")()
-        y = phase_conv(x, w, "conv", 0, p, p, dtype=self.dtype)
-        y = _add_phase_bias(y, b, p)
-        perm = _shuffle_perm(co, r, p)
-        y = jnp.einsum("...i,ij->...j", y, jnp.asarray(perm, y.dtype))
+        idx = _shuffle_perm_idx(co, r, p)
+        y = phase_conv(x, w, "conv", 0, p, p, dtype=self.dtype, out_perm=idx)
+        y = y + jnp.tile(b, p * p)[idx].astype(y.dtype)
         return jax.nn.silu(y)
 
 
@@ -550,10 +557,11 @@ class PhUpRefinementG(nn.Module):
             conv2m = ConvBlock(c, 3, 1, 1, dtype=dt, name="agg_0_1")(
                 agg, train=train)
         else:
-            cat2 = _phase_cat(_phase_cat(conv3_up, conv2, p2, c, c), f1, p2,
-                              2 * c, self.f1_channels)
+            cat2, perm2 = _cat_perm(p2, conv3_up, c, conv2, c,
+                                    f1, self.f1_channels)
             agg = PhConvBlock(c, 2 * c + self.f1_channels, 1, 0, p2, p2,
-                              dtype=dt, name="agg_0_0")(cat2, train=train)
+                              in_perm=perm2, dtype=dt,
+                              name="agg_0_0")(cat2, train=train)
             conv2m = PhConvBlock(c, c, 3, 1, p2, p2, dtype=dt,
                                  name="agg_0_1")(agg, train=train)
 
@@ -572,10 +580,11 @@ class PhUpRefinementG(nn.Module):
             conv1m = ConvBlock(c, 3, 1, 1, dtype=dt, name="agg_1_1")(
                 agg1, train=train)
         else:
-            cat1 = _phase_cat(_phase_cat(conv2_up, conv1, p1, c, c), f2, p1,
-                              2 * c, self.f2_channels)
+            cat1, perm1 = _cat_perm(p1, conv2_up, c, conv1, c,
+                                    f2, self.f2_channels)
             agg1 = PhConvBlock(c, 2 * c + self.f2_channels, 1, 0, p1, p1,
-                               dtype=dt, name="agg_1_0")(cat1, train=train)
+                               in_perm=perm1, dtype=dt,
+                               name="agg_1_0")(cat1, train=train)
             conv1m = PhConvBlock(c, c, 3, 1, p1, p1, dtype=dt,
                                  name="agg_1_1")(agg1, train=train)
 
@@ -617,10 +626,10 @@ class PhUpStageG(nn.Module):
         else:
             d = PhDispFeatures(self.dm_ch, p, dtype=dt, name="dm")(
                 disp_ph, train=train)
+            fused, fperm = _cat_perm(p, d, self.dm_ch, fuse_ph, self.fuse_ch)
             x = PhSpx(self.dm_ch, self.spx_out, self.dm_ch + self.fuse_ch,
-                      p, dtype=dt, name="spx")(
-                _phase_cat(d, fuse_ph, p, self.dm_ch, self.fuse_ch),
-                train=train)
+                      p, in_perm=fperm, dtype=dt, name="spx")(
+                fused, train=train)
         if self.use_mixer:
             assert p == 1
             x = TorchConv(self.n_feats, 3, 1, 1, dtype=dt, name="to_feat")(x)

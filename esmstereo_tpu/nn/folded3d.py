@@ -170,6 +170,11 @@ class FoldedConvBlock3D(nn.Module):
     act: str | None = "gelu"
     init_mode: str = "torch"
     depth_block: int | None = 16
+    # static lane gather folded into the channel matrix: the conv behaves
+    # as if it had seen x[..., in_perm] (used to fold depth-interleaving
+    # concats into the next conv instead of relayout-copying activations).
+    # Requires the unblocked path (depth_block=None).
+    in_perm: Any = None
     dtype: Any = None
 
     @property
@@ -218,7 +223,12 @@ class FoldedConvBlock3D(nn.Module):
                 [(p, p)] * 2, dimension_numbers=dn)
 
         db = self.depth_block
-        if db is None or d_out <= db:
+        if self.in_perm is not None:
+            assert db is None or d_out <= db, \
+                "in_perm requires the unblocked band (depth_block=None)"
+            w2 = fold_weight(w, band)
+            y = run_conv(x, w2[:, :, np.argsort(np.asarray(self.in_perm)), :])
+        elif db is None or d_out <= db:
             y = run_conv(x, fold_weight(w, band))
         else:
             # tile the band: output depths [o0, o1), input span = the

@@ -116,12 +116,38 @@ def phase_fold_kernel(w, mode: str, pad: int, p_in: int, p_out: int):
     return w2, pads
 
 
+def interleave_indices(p2: int, sizes) -> np.ndarray:
+    """Gather indices turning a plain lane concat of phase-major tensors
+    into the phase-interleaved layout.
+
+    Given tensors with per-phase channel widths ``sizes`` concatenated
+    plainly along lanes (``[p2*c0 | p2*c1 | ...]``), ``result[i]`` is the
+    source lane of interleaved channel ``i`` (layout ``(q, [c0 c1 ...])``).
+    Used to fold ``_phase_cat``'s lane-splitting reshapes into the next
+    conv's channel matrix (``phase_conv(in_perm=...)``) — reshaping the
+    lane dim at runtime costs a relayout copy per call on TPU.
+    """
+    offsets = np.cumsum([0] + [p2 * s for s in sizes])
+    idx = []
+    for q in range(p2):
+        for seg, s in enumerate(sizes):
+            idx.extend(offsets[seg] + q * s + np.arange(s))
+    return np.asarray(idx, np.int64)
+
+
 def phase_conv(x: Array, w: Array, mode: str, pad: int, p_in: int,
-               p_out: int, dtype=None) -> Array:
+               p_out: int, dtype=None, in_perm: np.ndarray | None = None,
+               out_perm: np.ndarray | None = None) -> Array:
     """Apply a phase-folded conv on the base grid.
 
     ``x``: (B, H, W, p_in^2*ci). The fold of the (traced) weights is a
-    static scatter expressed as an einsum with 0/1 placement tensors."""
+    static scatter expressed as an einsum with 0/1 placement tensors.
+
+    ``in_perm``: static lane gather such that the conv behaves as if it
+    had seen ``x[..., in_perm]`` — the permutation is folded into the
+    kernel's input rows (free at runtime) instead of permuting the
+    activation. ``out_perm``: likewise for the output lanes; the result
+    equals ``y[..., out_perm]`` of the unpermuted conv."""
     kh, kw, ci, co = w.shape
     if mode == "conv":
         s = p_in // p_out
@@ -148,6 +174,11 @@ def phase_conv(x: Array, w: Array, mode: str, pad: int, p_in: int,
     w2 = jnp.einsum("abio,aYpq,bXrs->YXpriqso",
                     w, jnp.asarray(ey, w.dtype), jnp.asarray(ex, w.dtype))
     w2 = w2.reshape(kh2, kw2, p_in * p_in * ci, p_out * p_out * co)
+    if in_perm is not None:
+        # conv(x[..., g], w2) == conv(x, w2[:, :, argsort(g), :])
+        w2 = w2[:, :, np.argsort(np.asarray(in_perm)), :]
+    if out_perm is not None:
+        w2 = w2[..., np.asarray(out_perm)]
 
     dtype = dtype or x.dtype
     dn = jax.lax.conv_dimension_numbers(x.shape, w2.shape,
