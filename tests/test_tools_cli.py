@@ -146,6 +146,57 @@ def test_test_eth3d_cli(scene_tree):
     assert nums and all(np.isfinite(n) for n in nums), out[-2000:]
 
 
+def test_train_sceneflow_cli(tmp_path):
+    """One-epoch SceneFlow recipe through the real CLI (SURVEY P15)."""
+    rng = np.random.default_rng(4)
+    data = tmp_path / "sf"
+    lines = []
+    for i in range(4):
+        _rand_png(str(data / f"l{i}.png"), rng, shape=(64, 96, 3))
+        _rand_png(str(data / f"r{i}.png"), rng, shape=(64, 96, 3))
+        sys.path.insert(0, REPO)
+        from esmstereo_tpu.data.io import pfm_imwrite
+        pfm_imwrite(str(data / f"d{i}.pfm"),
+                    rng.uniform(1, 40, (64, 96)).astype(np.float32))
+        lines.append(f"l{i}.png r{i}.png d{i}.pfm")
+    (data / "list.txt").write_text("\n".join(lines) + "\n")
+
+    logdir = tmp_path / "logs"
+    # crops must be /32-divisible like every reference recipe shape
+    out = _run("train_sceneflow.py", *S_ARGS,
+               "--datapath", str(data), "--trainlist", str(data / "list.txt"),
+               "--testlist", str(data / "list.txt"), "--epochs", "1",
+               "--batch_size", "2", "--test_batch_size", "2",
+               "--num_workers", "1", "--crop", "64,96",
+               "--eval_crop", "64,96", "--logdir", str(logdir))
+    assert "best:" in out, out[-2000:]
+    assert any(f.startswith("checkpoint_") for f in os.listdir(logdir)), \
+        os.listdir(logdir)
+
+
+def test_train_kitti_cli(tmp_path):
+    """One-epoch KITTI finetune through the real CLI (SURVEY P16)."""
+    rng = np.random.default_rng(5)
+    root = tmp_path / "kitti"
+    for name in ("000000_10.png", "000001_10.png"):
+        _rand_png(str(root / "training" / "image_2" / name), rng,
+                  shape=(94, 158, 3))
+        _rand_png(str(root / "training" / "image_3" / name), rng,
+                  shape=(94, 158, 3))
+        _disp_png16(str(root / "training" / "disp_occ_0" / name), rng,
+                    shape=(94, 158))
+    listfile = tmp_path / "kitti15_all.txt"
+    _run("make_filelists.py", "kitti15", str(root), "-o", str(listfile))
+    logdir = tmp_path / "logs"
+    out = _run("train_kitti.py", *S_ARGS,
+               "--datapath_12", str(root), "--datapath_15", str(root),
+               "--trainlist", str(listfile), "--testlist", str(listfile),
+               "--epochs", "1", "--batch_size", "2", "--test_batch_size", "2",
+               "--num_workers", "1", "--crop", "64,96", "--pad_to", "96,160",
+               "--logdir", str(logdir), "--save_freq", "1")
+    assert "best:" in out, out[-2000:]
+
+
 def test_make_filelists_cli(kitti15_tree, tmp_path):
     listfile = tmp_path / "kitti15_all.txt"
     _run("make_filelists.py", "kitti15", kitti15_tree, "-o", str(listfile))

@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--spatial_shards", type=int, default=1)
     p.add_argument("--fix_cv16_loss", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--crop", default="256,512",
+                   help="training crop H,W")
+    p.add_argument("--pad_to", default="384,1248",
+                   help="eval zero-pad target H,W (reference 384,1248)")
     add_runtime_args(p)
     return p.parse_args()
 
@@ -59,10 +63,16 @@ def main():
     if mesh is not None:
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
+    def _hw(spec):
+        h, w = (int(v) for v in spec.split(","))
+        return h, w
+
     train_ds = KITTIDataset(args.datapath_12, args.datapath_15,
-                            args.trainlist, training=True)
+                            args.trainlist, training=True,
+                            crop=_hw(args.crop))
     test_ds = KITTIDataset(args.datapath_12, args.datapath_15,
-                           args.testlist, training=False)
+                           args.testlist, training=False,
+                           pad_to=_hw(args.pad_to))
     shard_index, num_shards = jax.process_index(), jax.process_count()
     train_loader = DataLoader(train_ds, args.batch_size,
                               num_workers=args.num_workers, drop_last=True,

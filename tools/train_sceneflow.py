@@ -37,8 +37,18 @@ def parse_args():
                    help="mesh 'spatial' axis size (H-sharding)")
     p.add_argument("--fix_cv16_loss", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--crop", default="256,512",
+                   help="training crop H,W (reference default 256,512; "
+                        "smaller values for smoke tests)")
+    p.add_argument("--eval_crop", default="512,960",
+                   help="eval bottom-right crop H,W")
     add_runtime_args(p)
     return p.parse_args()
+
+
+def _hw(spec: str) -> tuple[int, int]:
+    h, w = (int(v) for v in spec.split(","))
+    return h, w
 
 
 def main():
@@ -77,8 +87,10 @@ def main():
     if mesh is not None:
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
-    train_ds = SceneFlowDataset(args.datapath, args.trainlist, training=True)
-    test_ds = SceneFlowDataset(args.datapath, args.testlist, training=False)
+    train_ds = SceneFlowDataset(args.datapath, args.trainlist, training=True,
+                                crop=_hw(args.crop))
+    test_ds = SceneFlowDataset(args.datapath, args.testlist, training=False,
+                               eval_crop=_hw(args.eval_crop))
     shard_index, num_shards = jax.process_index(), jax.process_count()
     train_loader = DataLoader(train_ds, args.batch_size,
                               num_workers=args.num_workers, drop_last=True,
