@@ -104,25 +104,36 @@ def main() -> None:
     dt = max((t_long - t_short) / (N - 1), 1e-9)
 
     fps = 1.0 / dt
-    baseline = 0.0
+    # Numerics are part of the metric identity (bf16 vs fp32, tanh vs
+    # exact GELU), so vs_baseline always compares like-for-like; baselines
+    # are per-metric rows in BENCH_BASELINE.json.
+    metric = ("fps_per_chip_960x544_b1_"
+              + ("bf16" if DTYPE == "bfloat16" else "fp32")
+              + ("_fastgelu" if FAST_GELU else ""))
+    baselines: dict = {}
     if os.path.exists("BENCH_BASELINE.json"):
         try:
-            baseline = float(json.load(open("BENCH_BASELINE.json"))["value"])
+            raw = json.load(open("BENCH_BASELINE.json"))
+            if "metric" in raw:  # legacy single-record format
+                baselines = {raw["metric"]: float(raw["value"])}
+            else:
+                baselines = {k: float(v) for k, v in raw.items()}
         except Exception:
-            baseline = 0.0
+            baselines = {}
+    baseline = baselines.get(metric, 0.0)
     vs = round(fps / baseline, 4) if baseline > 0 else 1.0
     result = {
-        "metric": "fps_per_chip_960x544_b1_"
-                  + ("bf16" if DTYPE == "bfloat16" else "fp32"),
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": vs,
     }
     print(json.dumps(result))
     if baseline == 0.0:
+        baselines[metric] = result["value"]
         try:
             with open("BENCH_BASELINE.json", "w") as f:
-                json.dump(result, f)
+                json.dump(baselines, f, indent=1)
         except Exception:
             pass
 

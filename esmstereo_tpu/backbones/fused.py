@@ -263,8 +263,9 @@ def reference_stem_eval(x: Array, params: dict, stats: dict) -> Array:
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(x, k, (2, 2), [(1, 1), (1, 1)],
                                      dimension_numbers=dn)
-    y = jax.nn.gelu(_bn_eval(y, params["conv_down"]["bn"],
-                             stats["conv_down"]["bn"]), approximate=False)
+    from esmstereo_tpu.nn.blocks import apply_act
+    y = apply_act(_bn_eval(y, params["conv_down"]["bn"],
+                           stats["conv_down"]["bn"]), "gelu")
     k2 = params["conv"]["Conv_0"]["kernel"]
     y = jax.lax.conv_general_dilated(y, k2, (1, 1), [(1, 1), (1, 1)],
                                      dimension_numbers=dn)

@@ -50,17 +50,24 @@ class InferenceRunner:
 
     def __call__(self, left_u8: np.ndarray, right_u8: np.ndarray
                  ) -> tuple[np.ndarray, float]:
-        """uint8 HWC pair -> (disparity HxW float32, forward seconds)."""
+        """uint8 HWC pair -> (disparity HxW float32, wall seconds).
+
+        The reported time is anchored on the device-to-host transfer of
+        the result (``np.asarray``), which genuinely blocks — on tunneled
+        TPU platforms ``block_until_ready`` alone does not, so timing a
+        bare dispatch would print fantasy per-image rates. The number thus
+        includes the H2D/D2H round-trip; for pure device time use
+        ``utils.profiling.chained_scan_time_ms`` (what bench.py reports).
+        """
         h, w = left_u8.shape[:2]
         left = pad_to_next_multiple(normalize_image(left_u8))[None]
         right = pad_to_next_multiple(normalize_image(right_u8))[None]
         fn = self._fn(left.shape[1:3])
         t0 = time.perf_counter()
-        disp = fn(self.variables, left, right)
-        disp.block_until_ready()
+        disp = np.asarray(fn(self.variables, left, right))
         dt = time.perf_counter() - t0
         hi, wi = left.shape[1:3]
-        return np.asarray(disp)[0, hi - h:, wi - w:], dt
+        return disp[0, hi - h:, wi - w:], dt
 
 
 def load_model_for_eval(config, loadckpt: str = ""):

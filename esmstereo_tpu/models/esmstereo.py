@@ -518,7 +518,10 @@ class ESMStereo(nn.Module):
                                      axis=-1)
 
         conv = ConvBlock(64, 3, 1, 1, dtype=dtype, name="conv")
-        desc = TorchConv(64, 1, 1, 0, dtype=dtype, name="desc")
+        # The reference descriptor is a default nn.Conv2d, i.e. WITH bias
+        # (ESMStereo.py:587 ``self.desc = nn.Conv2d(64, 64, ...)``); found
+        # by the full-model transplant parity test.
+        desc = TorchConv(64, 1, 1, 0, use_bias=True, dtype=dtype, name="desc")
         if cfg.siamese_batch:
             m_both = desc(conv(
                 jnp.concatenate([match_l_in, match_r_in], axis=0),

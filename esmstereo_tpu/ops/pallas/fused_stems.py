@@ -59,10 +59,15 @@ Array = jax.Array
 
 
 def _gelu(x: Array, interpret: bool) -> Array:
-    """Exact (erf) GELU. Mosaic has no erf/erfc lowering, so the compiled
-    path uses the Abramowitz-Stegun 7.1.26 rational erf (1.5e-7 abs
-    error — an order below the bf16 conv rounding already present on the
-    TPU path; the plain XLA path's erf is itself a rational approx)."""
+    """GELU honoring the global numerics switch (nn.blocks.set_gelu_approximate),
+    so a fast-GELU deployment graph stays consistent across the fused and
+    plain sections. Exact mode: Mosaic has no erf/erfc lowering, so the
+    compiled path uses the Abramowitz-Stegun 7.1.26 rational erf (1.5e-7
+    abs error — an order below the bf16 conv rounding already present on
+    the TPU path; the plain XLA path's erf is itself a rational approx)."""
+    from esmstereo_tpu.nn import blocks as _blocks
+    if _blocks.GELU_APPROXIMATE:
+        return jax.nn.gelu(x, approximate=True)
     if interpret:
         return jax.nn.gelu(x, approximate=False)
     z = x * np.float32(2 ** -0.5)

@@ -63,6 +63,26 @@ def auto_mesh(batch_size: int, spatial: int = 1, devices=None) -> Mesh | None:
                      devices=devices[: data * spatial])
 
 
+def spatial_safe_config(model_cfg, mesh: Mesh | None):
+    """Return ``model_cfg`` with Pallas fast paths disabled when the mesh
+    shards the H axis.
+
+    A ``pallas_call`` cannot be partitioned by XLA's SPMD pass: under a
+    ``spatial`` axis it would force a full all-gather of its operands per
+    call (correct but pathological) or fail to partition outright. The
+    folded/phased XLA reformulations partition fine (they are ordinary
+    convs); only the kernels must go. Applied automatically by every
+    framework entry point that builds a spatially-sharded run — callers
+    constructing their own meshes should do the same.
+    """
+    if mesh is None or "spatial" not in mesh.axis_names \
+            or mesh.shape["spatial"] <= 1:
+        return model_cfg
+    return dataclasses.replace(
+        model_cfg, pallas_volume=False, fuse_backbone_head=False,
+        fuse_stems=False)
+
+
 def batch_spec() -> P:
     """Images / disparities: batch over data, H over spatial."""
     return P("data", "spatial")

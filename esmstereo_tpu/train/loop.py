@@ -24,6 +24,7 @@ from esmstereo_tpu.train.schedule import lr_schedule_fn
 from esmstereo_tpu.train.state import create_train_state, make_optimizer
 from esmstereo_tpu.train.step import make_eval_step, make_train_step
 from esmstereo_tpu.utils.meters import AverageMeter, AverageMeterDict, save_scalars
+from esmstereo_tpu.utils.trees import save_images
 
 
 @dataclasses.dataclass
@@ -41,6 +42,11 @@ class TrainLoopConfig:
     select_metric: str = "EPE"                 # KITTI selects on D1
     fix_cv16_loss: bool = False
     seed: int = 1
+    # TensorBoard image dumps (left / GT / estimate / error map) every
+    # `image_freq` steps; 0 = off. Capability surface of the reference's
+    # save_images (experiment.py:80-100); images come from an eval-mode
+    # forward on the current batch with the just-updated params.
+    image_freq: int = 0
 
 
 def _to_device(batch: dict, mesh=None) -> dict:
@@ -118,6 +124,18 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
                              {"loss": metrics["loss"],
                               "EPE": [metrics["EPE"]],
                               "D1": [metrics["D1"]]}, gstep)
+            if (logger is not None and cfg.image_freq
+                    and gstep % cfg.image_freq == 0):
+                tb = _to_device(_eval_batch_view(batch), mesh)
+                _, disp_est = eval_step(state, tb)
+                est = np.asarray(disp_est[:1])
+                gt = np.asarray(batch["disparity"][:1])
+                save_images(logger, "train", {
+                    "imgL": np.asarray(batch["left"][:1]),
+                    "disp_gt": gt,
+                    "disp_est": est,
+                    "errormap": np.abs(est - gt) * (gt > 0),
+                }, gstep)
             log_fn(
                 f"Epoch {epoch}/{cfg.epochs} | Iter {bi}/{steps_per_epoch} | "
                 f"loss {metrics['loss']:.3f}({loss_m.avg:.3f}) | "
@@ -154,23 +172,24 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
 
 
 def measure_performance(model, variables, *, height: int = 512,
-                        width: int = 960, warmup: int = 10,
-                        reps: int = 500) -> float:
-    """Mean forward latency in ms (``train_sceneflow.py:254-275`` harness)."""
+                        width: int = 960, reps: int = 50) -> float:
+    """Mean forward latency in ms (``train_sceneflow.py:254-275`` harness).
+
+    Uses the chained-scan methodology (iterations chained inside one jit,
+    D2H anchor) rather than the reference's per-call event timing:
+    ``block_until_ready`` does not reliably block on tunneled TPU
+    platforms, so a dispatch loop would measure dispatch rate, not device
+    time (see BASELINE.md "Measurement methodology").
+    """
+    from esmstereo_tpu.utils.profiling import chained_scan_time_ms
+
     rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.standard_normal((1, height, width, 3)),
-                       dtype=jnp.float32)
-    right = jnp.asarray(rng.standard_normal((1, height, width, 3)),
-                        dtype=jnp.float32)
+    left = jax.device_put(
+        np.asarray(rng.standard_normal((1, height, width, 3)), np.float32))
+    right = jax.device_put(
+        np.asarray(rng.standard_normal((1, height, width, 3)), np.float32))
 
-    @jax.jit
-    def forward(variables, left, right):
-        return model.apply(variables, left, right, train=False)[0]
+    def forward(v, l, r):
+        return model.apply(v, l, r, train=False)[0]
 
-    for _ in range(warmup):
-        forward(variables, left, right).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = forward(variables, left, right)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+    return chained_scan_time_ms(forward, variables, left, right, reps=reps)

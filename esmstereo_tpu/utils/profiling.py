@@ -22,22 +22,33 @@ def time_fn(fn: Callable, *args, warmup: int = 10, reps: int = 100) -> dict:
 
     Inputs must already be on device (``jax.device_put``) — feeding host
     numpy pays a per-call transfer that dominates on remote-attached TPUs.
+
+    Completion is anchored by a device-to-host read of the first output
+    leaf (``block_until_ready`` does not reliably block on tunneled TPU
+    platforms), so per-call numbers include one D2H round-trip; the
+    amortised loop is NOT data-dependent between iterations, so on an
+    async backend it can overlap and measure closer to throughput than
+    latency. For clean per-frame device latency use
+    :func:`chained_scan_time_ms`.
     """
     import numpy as np
 
+    def anchor(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        anchor(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        anchor(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     # amortised (pipelined) timing as the throughput number
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    anchor(out)
     amortised = (time.perf_counter() - t0) / reps * 1e3
     return {
         "mean_ms": float(np.mean(times)),

@@ -76,6 +76,49 @@ def test_fast_gelu_close_to_exact():
     assert np.abs(exact - approx).mean() < 0.1, np.abs(exact - approx).mean()
 
 
+def test_deployment_precision_headline_config():
+    """Accuracy bound for the exact config bench.py's headline metric runs:
+    efficientnet_b2 L variant, bf16 compute + tanh-GELU, fused backbone
+    head engaged (shape divisible by (16, 32)).
+
+    Caveat: random-init weights — this catches dtype/approximation plumbing
+    errors (mis-cast regression boundary, mixed GELU variants, fused-head
+    numerics drift), not a trained-accuracy bound; trained nets are far
+    tighter because BN running stats compress activation ranges.
+    """
+    from esmstereo_tpu.nn.blocks import set_gelu_approximate
+
+    rng = np.random.default_rng(2)
+    left = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, 64, 128, 3)), jnp.float32)
+
+    exact_model = ESMStereo(config=ESMStereoConfig(
+        cv_scale=4, backbone="efficientnet_b2"))
+    v = exact_model.init(jax.random.key(0), left, right, train=False)
+    exact = np.asarray(exact_model.apply(v, left, right, train=False)[0],
+                       np.float32)
+
+    deploy_model = ESMStereo(config=ESMStereoConfig(
+        cv_scale=4, backbone="efficientnet_b2", dtype=jnp.bfloat16))
+    set_gelu_approximate(True)
+    try:
+        deploy = deploy_model.apply(v, left, right, train=False)[0]
+    finally:
+        set_gelu_approximate(False)
+    assert deploy.dtype == jnp.float32
+    a = np.asarray(deploy, np.float32)
+    diff = np.abs(exact - a)
+    # the cv4 top-2 bin selection is discontinuous: on random-init
+    # near-flat cost surfaces, bf16 rounding flips the selected bin at
+    # isolated pixels (an artifact of random weights, not the numerics
+    # plumbing — tests/test_reference_parity.py sees the same effect at
+    # fp32 between torch and jax). Assert sub-pixel agreement away from
+    # flips, and bound the flip frequency.
+    flips = diff > 1.0
+    assert flips.mean() < 0.05, flips.mean()
+    assert diff[~flips].mean() < 0.05, diff[~flips].mean()
+
+
 def test_bf16_train_step_overfits():
     cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100",
                           dtype=jnp.bfloat16)

@@ -47,12 +47,31 @@ def test_training_loop_with_resume_and_warmstart(tiny_sceneflow, tmp_path):
 
     logdir = str(tmp_path / "logs")
     cfg = TrainLoopConfig(epochs=1, lr=1e-3, lrepochs="10:2",
-                          logdir=logdir, save_freq=1)
+                          logdir=logdir, save_freq=1, image_freq=2)
+
+    class FakeWriter:
+        scalars: list = []
+        images: list = []
+
+        def add_scalar(self, name, value, step):
+            self.scalars.append((name, value, step))
+
+        def add_image(self, name, img, step):
+            self.images.append((name, np.asarray(img).shape, step))
+
     logs = []
+    writer = FakeWriter()
     res = run_training(_model(), cfg, train_loader, test_loader,
-                       log_fn=logs.append)
+                       logger=writer, log_fn=logs.append)
     assert res["best_epoch"] == 0
     assert np.isfinite(res["best_metric"])
+    # image dumps at image_freq (reference save_images surface,
+    # experiment.py:80-100): left / GT / estimate / error map, CHW
+    img_names = {n for n, _, _ in writer.images}
+    assert {"train/imgL", "train/disp_gt", "train/disp_est",
+            "train/errormap"} <= img_names, img_names
+    assert all(len(s) == 3 and s[0] in (1, 3) for _, s, _ in writer.images)
+    assert any(n.startswith("train/") for n, _, _ in writer.scalars)
     latest = ckpt.latest_checkpoint(logdir)
     assert latest and latest.endswith("checkpoint_000000")
 

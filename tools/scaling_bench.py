@@ -77,12 +77,15 @@ def main():
         if mesh is not None:
             state = jax.device_put(state, pmesh.replicated(mesh))
         step = jax.jit(make_train_step(model), donate_argnums=(0,))
+        # the timed loop is data-dependent through the donated state, so a
+        # D2H read of the LAST step's metrics anchors the whole chain —
+        # honest on tunneled TPUs where block_until_ready does not block
         state, m = step(state, batch)
-        jax.block_until_ready(m)
+        float(jax.tree_util.tree_leaves(m)[0])
         t0 = time.perf_counter()
         for _ in range(args.reps):
             state, m = step(state, batch)
-        jax.block_until_ready(m)
+        float(jax.tree_util.tree_leaves(m)[0])
         dt = (time.perf_counter() - t0) / args.reps
         if t1 is None:
             t1 = dt

@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary_freq", type=int, default=1)
+    p.add_argument("--image_freq", type=int, default=0,
+                   help="TB image dumps every N steps (0=off)")
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=100,
@@ -62,6 +64,9 @@ def main():
     mesh = pmesh.auto_mesh(args.batch_size, spatial=args.spatial_shards)
     if mesh is not None:
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
+        # H-sharding cannot partition pallas_call; swap to the XLA paths.
+        cfg = pmesh.spatial_safe_config(cfg, mesh)
+        model = ESMStereo(config=cfg)
 
     def _hw(spec):
         h, w = (int(v) for v in spec.split(","))
@@ -88,6 +93,7 @@ def main():
         optimizer="adam", logdir=args.logdir, resume=args.resume,
         loadckpt=args.loadckpt, save_freq=args.save_freq,
         summary_freq=args.summary_freq,
+        image_freq=args.image_freq,
         max_batches_per_epoch=args.max_batches, select_metric="D1",
         fix_cv16_loss=args.fix_cv16_loss, seed=args.seed)
 

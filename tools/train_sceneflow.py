@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument("--performance", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary_freq", type=int, default=1)
+    p.add_argument("--image_freq", type=int, default=0,
+                   help="TB image dumps every N steps (0=off)")
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--spatial_shards", type=int, default=1,
@@ -86,6 +88,9 @@ def main():
     mesh = pmesh.auto_mesh(args.batch_size, spatial=args.spatial_shards)
     if mesh is not None:
         print("mesh:", dict(zip(mesh.axis_names, mesh.devices.shape)))
+        # H-sharding cannot partition pallas_call; swap to the XLA paths.
+        cfg = pmesh.spatial_safe_config(cfg, mesh)
+        model = ESMStereo(config=cfg)
 
     train_ds = SceneFlowDataset(args.datapath, args.trainlist, training=True,
                                 crop=_hw(args.crop))
@@ -106,6 +111,7 @@ def main():
         optimizer="adamw", logdir=args.logdir, resume=args.resume,
         loadckpt=args.loadckpt, save_freq=args.save_freq,
         summary_freq=args.summary_freq, select_metric="EPE",
+        image_freq=args.image_freq,
         fix_cv16_loss=args.fix_cv16_loss, seed=args.seed)
 
     logger = None
