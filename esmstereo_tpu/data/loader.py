@@ -1,11 +1,13 @@
-"""Threaded, host-sharded data loader with device prefetch.
+"""Threaded, host-sharded data loader.
 
 TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
 (8 fork workers, ``train_sceneflow.py:84-85``): worker threads decode and
 augment on the host while the previous batch is on device; under multi-host
 SPMD each process loads only its shard of the global batch
 (``jax.process_index()``-strided indices), which is the standard JAX
-per-host input pipeline.
+per-host input pipeline. Device-side prefetch (H2D one batch ahead,
+overlapped with the in-flight step) lives in
+``train.loop._device_batches``.
 
 Determinism: sample ``i`` of epoch ``e`` is augmented with
 ``np.random.default_rng(hash(seed, e, i))`` regardless of worker count or

@@ -175,15 +175,68 @@ def _rules(cv_scale: int, cost_volume: str, backbone: str) -> dict:
     return R
 
 
+def _confidence_rules(cost_volume: str, backbone: str) -> dict:
+    """Rules for ``ESMStereo_confidence`` (cv16-only, ``:746-976``): the
+    base network under the flax ``stereo`` submodule plus the LAFNet head
+    and the two conf_upsample stages under ``confidence_net``."""
+    R = {tp: (("stereo", *path), kind)
+         for tp, (path, kind) in _rules(16, cost_volume, backbone).items()}
+    C = "confidence_net"
+
+    def conv(tp, path):
+        R[tp] = ((C, *path), "conv")
+
+    def bn(tp, path):
+        R[tp] = ((C, *path), "bn")
+
+    for feat in ("cost", "disp", "imag"):
+        for i in (1, 2, 3):
+            conv(f"{C}.{feat}_conv{i}", (f"{feat}_feat", f"conv{i}"))
+            bn(f"{C}.{feat}_bn{i}", (f"{feat}_feat", f"bn{i}"))
+        for i in (1, 2):
+            conv(f"{C}.{feat}_att_conv{i}", (f"{feat}_att", f"conv{i}"))
+            bn(f"{C}.{feat}_att_bn{i}", (f"{feat}_att", f"bn{i}"))
+    for i in (1, 2, 3):
+        conv(f"{C}.scale_conv{i}", (f"scale_conv{i}",))
+        bn(f"{C}.scale_bn{i}", (f"scale_bn{i}",))
+    for i in (1, 2):
+        conv(f"{C}.embed_conv{i}", (f"embed_conv{i}",))
+        bn(f"{C}.embed_bn{i}", (f"embed_bn{i}",))
+    for i in (1, 2, 3):
+        conv(f"{C}.fusion_conv{i}", (f"fusion_conv{i}",))
+        for it in (1, 2, 3):
+            bn(f"{C}.fusion_bn{i}_iter{it}", (f"fusion_bn{i}_iter{it}",))
+    for up in ("conf_up4", "conf_up1"):
+        base = f"{C}.{up}"
+        R[f"{base}.conv1"] = ((C, up, "conv1"), "basic2")
+        R[f"{base}.conv2"] = ((C, up, "conv2"), "basic2")
+        R[f"{base}.conv1_up"] = ((C, up, "conv1_up"), "deconv2")
+        for i in range(4):
+            R[f"{base}.cm.{i}"] = ((C, up, f"cm{i}"), "basic2")
+        R[f"{base}.conf_spx_4.0"] = ((C, up, "spx4_0"), "basic2")
+        R[f"{base}.conf_spx_4.1"] = ((C, up, "spx4_1"), "conv")
+        R[f"{base}.conf_spx_4.2"] = ((C, up, "spx4_bn"), "bn")
+        # plain nn.ConvTranspose2d (bias=True); flax TorchConvTranspose
+        # owns kernel/bias directly
+        R[f"{base}.conf_spx"] = ((C, up, "spx"), "deconv_plain")
+    return R
+
+
 def convert_reference_state_dict(
         state_dict: Mapping[str, Any], *, cv_scale: int, cost_volume: str,
-        backbone: str) -> tuple[dict, dict]:
+        backbone: str, confidence: bool = False) -> tuple[dict, dict]:
     """Reference ``state_dict`` -> (params tree, batch_stats tree).
 
     Raises on any state_dict tensor it does not know how to place (so
-    reference-surface drift is loud, not silent).
+    reference-surface drift is loud, not silent). ``confidence`` selects
+    the ESMStereo_confidence layout (base net under ``stereo`` + LAFNet
+    head under ``confidence_net``).
     """
-    rules = _rules(cv_scale, cost_volume, backbone)
+    if confidence:
+        assert cv_scale == 16, "confidence head is cv16-only (:868-871)"
+        rules = _confidence_rules(cost_volume, backbone)
+    else:
+        rules = _rules(cv_scale, cost_volume, backbone)
     params: dict = {}
     stats: dict = {}
 
@@ -211,7 +264,14 @@ def convert_reference_state_dict(
             raise KeyError(f"no transplant rule for reference key {key!r}")
         (fpath, kind), leaf = hit
 
-        if kind == "conv":
+        if kind == "deconv_plain":
+            if leaf == "weight":
+                put(params, (*fpath, "kernel"), _deconv2(value))
+            elif leaf == "bias":
+                put(params, (*fpath, "bias"), value)
+            else:
+                raise KeyError(f"{key}: unexpected deconv leaf {leaf}")
+        elif kind == "conv":
             if leaf == "weight":
                 put(params, (*fpath, "Conv_0", "kernel"), _conv2(value))
             elif leaf == "bias":
@@ -280,7 +340,8 @@ def _merge(dst: dict, src: dict, path=()) -> int:
 
 def load_reference_weights(variables: dict, state_dict: Mapping[str, Any],
                            *, cv_scale: int, cost_volume: str,
-                           backbone: str, require_full: bool = True) -> dict:
+                           backbone: str, confidence: bool = False,
+                           require_full: bool = True) -> dict:
     """Return ``variables`` with every leaf replaced from the reference
     ``state_dict``. With ``require_full`` every flax leaf must be covered."""
     import jax
@@ -288,7 +349,7 @@ def load_reference_weights(variables: dict, state_dict: Mapping[str, Any],
     variables = jax.tree_util.tree_map(np.asarray, variables)
     params, stats = convert_reference_state_dict(
         state_dict, cv_scale=cv_scale, cost_volume=cost_volume,
-        backbone=backbone)
+        backbone=backbone, confidence=confidence)
     n_p = _merge(variables["params"], params)
     n_s = _merge(variables["batch_stats"], stats)
     if require_full:

@@ -66,6 +66,23 @@ def _train_batch_view(batch: dict) -> dict:
                                   "disparity_low") if k in batch}
 
 
+def _device_batches(loader, mesh, view, limit=None):
+    """Yield ``(device_batch, host_batch)`` one step AHEAD of consumption:
+    batch i+1's host-to-device transfer is dispatched before batch i is
+    consumed, so it overlaps step i's device execution (the loader's
+    worker threads already overlap decode/augment on the host side)."""
+    prev = None
+    for bi, batch in enumerate(loader):
+        if limit is not None and bi >= limit:
+            break
+        dev = _to_device(view(batch), mesh)
+        if prev is not None:
+            yield prev
+        prev = (dev, batch)
+    if prev is not None:
+        yield prev
+
+
 def _eval_batch_view(batch: dict) -> dict:
     return {k: batch[k] for k in ("left", "right", "disparity") if k in batch}
 
@@ -108,13 +125,14 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
         train_loader.set_epoch(epoch)
         loss_m, epe_m, d1_m = AverageMeter(), AverageMeter(), AverageMeter()
         t_epoch = time.time()
-        for bi, batch in enumerate(train_loader):
-            if cfg.max_batches_per_epoch and bi >= cfg.max_batches_per_epoch:
-                break
-            gstep = steps_per_epoch * epoch + bi
-            t0 = time.time()
-            state, metrics = train_step(
-                state, _to_device(_train_batch_view(batch), mesh))
+
+        # Depth-1 dispatch pipeline: metrics of step i are read back (a
+        # blocking D2H) only AFTER step i+1 has been dispatched, so the
+        # host never idles the device on a per-step sync; batch H2D is
+        # prefetched one step ahead by _device_batches. Console/TB
+        # logging therefore lags execution by one step.
+        def flush(pending):
+            bi, gstep, metrics, host_batch, t0 = pending
             metrics = {k: float(v) for k, v in metrics.items()}
             loss_m.update(metrics["loss"])
             epe_m.update(metrics["EPE"])
@@ -126,12 +144,12 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
                               "D1": [metrics["D1"]]}, gstep)
             if (logger is not None and cfg.image_freq
                     and gstep % cfg.image_freq == 0):
-                tb = _to_device(_eval_batch_view(batch), mesh)
+                tb = _to_device(_eval_batch_view(host_batch), mesh)
                 _, disp_est = eval_step(state, tb)
-                est = np.asarray(disp_est[:1])
-                gt = np.asarray(batch["disparity"][:1])
+                est = np.asarray(disp_est[0])          # (H, W)
+                gt = np.asarray(host_batch["disparity"][0])
                 save_images(logger, "train", {
-                    "imgL": np.asarray(batch["left"][:1]),
+                    "imgL": np.asarray(host_batch["left"][0]),  # (H, W, 3)
                     "disp_gt": gt,
                     "disp_est": est,
                     "errormap": np.abs(est - gt) * (gt > 0),
@@ -142,6 +160,19 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
                 f"EPE {metrics['EPE']:.3f}({epe_m.avg:.3f}) | "
                 f"D1 {metrics['D1']:.3f}({d1_m.avg:.3f}) | "
                 f"time {time.time() - t0:.3f}")
+
+        pending = None
+        for bi, (dev_batch, host_batch) in enumerate(_device_batches(
+                train_loader, mesh, _train_batch_view,
+                limit=cfg.max_batches_per_epoch)):
+            gstep = steps_per_epoch * epoch + bi
+            t0 = time.time()
+            state, metrics = train_step(state, dev_batch)
+            if pending is not None:
+                flush(pending)
+            pending = (bi, gstep, metrics, host_batch, t0)
+        if pending is not None:
+            flush(pending)
 
         if (epoch + 1) % cfg.save_freq == 0:
             path = ckpt.save_checkpoint(cfg.logdir, state, epoch)

@@ -45,7 +45,11 @@ class PjrtRunner {
   std::string Initialize();
 
   // Compiles an MLIR (StableHLO) module. Empty string on success.
+  // Multiple modules may be compiled into the same client (the two-engine
+  // A/B harness runs a second network alongside the primary, like the
+  // reference's ESS comparison node); each gets an index in compile order.
   std::string Compile(const std::string& mlir_module);
+  std::string CompileModule(const std::string& mlir_module, int* index);
 
   // Executes with float32 inputs; each input/output is a (dims, data)
   // pair. Empty string on success.
@@ -55,6 +59,8 @@ class PjrtRunner {
   };
   std::string Execute(const std::vector<Tensor>& inputs,
                       std::vector<Tensor>* outputs);
+  std::string ExecuteModule(int index, const std::vector<Tensor>& inputs,
+                            std::vector<Tensor>* outputs);
 
   const std::string& platform_name() const { return platform_name_; }
 
@@ -65,7 +71,7 @@ class PjrtRunner {
   const PJRT_Api* api_ = nullptr;
   PJRT_Client* client_ = nullptr;
   PJRT_Device* device_ = nullptr;
-  PJRT_LoadedExecutable* executable_ = nullptr;
+  std::vector<PJRT_LoadedExecutable*> executables_;
   std::string platform_name_;
 
   std::string ErrorToString(void* error);

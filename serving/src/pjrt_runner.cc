@@ -32,10 +32,9 @@ PjrtRunner::PjrtRunner(const std::string& plugin_path,
 
 PjrtRunner::~PjrtRunner() {
   if (api_ != nullptr) {
-    if (executable_ != nullptr) {
+    for (auto* exe : executables_) {
       PJRT_LoadedExecutable_Destroy_Args args{
-          PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE, nullptr,
-          executable_};
+          PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE, nullptr, exe};
       api_->PJRT_LoadedExecutable_Destroy(&args);
     }
     if (client_ != nullptr) {
@@ -133,6 +132,12 @@ std::string PjrtRunner::Initialize() {
 }
 
 std::string PjrtRunner::Compile(const std::string& mlir_module) {
+  int index = -1;
+  return CompileModule(mlir_module, &index);
+}
+
+std::string PjrtRunner::CompileModule(const std::string& mlir_module,
+                                      int* index) {
   PJRT_Program program;
   std::memset(&program, 0, sizeof(program));
   program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -151,13 +156,23 @@ std::string PjrtRunner::Compile(const std::string& mlir_module) {
   if (auto e = ErrorToString(api_->PJRT_Client_Compile(&args)); !e.empty()) {
     return "PJRT_Client_Compile: " + e;
   }
-  executable_ = args.executable;
+  executables_.push_back(args.executable);
+  if (index != nullptr) *index = static_cast<int>(executables_.size()) - 1;
   return "";
 }
 
 std::string PjrtRunner::Execute(const std::vector<Tensor>& inputs,
                                 std::vector<Tensor>* outputs) {
-  if (executable_ == nullptr) return "Execute before Compile";
+  return ExecuteModule(0, inputs, outputs);
+}
+
+std::string PjrtRunner::ExecuteModule(int index,
+                                      const std::vector<Tensor>& inputs,
+                                      std::vector<Tensor>* outputs) {
+  if (index < 0 || index >= static_cast<int>(executables_.size())) {
+    return "Execute before Compile (module index out of range)";
+  }
+  PJRT_LoadedExecutable* executable_ = executables_[index];
 
   std::vector<PJRT_Buffer*> in_buffers(inputs.size());
   for (size_t i = 0; i < inputs.size(); ++i) {

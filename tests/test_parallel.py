@@ -48,6 +48,43 @@ def test_sharded_forward_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
+def test_spatial_safe_config_disables_kernels():
+    cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100")
+    assert cfg.pallas_volume and cfg.fuse_backbone_head
+    m_spatial = pmesh.make_mesh(pmesh.MeshConfig(data=2, spatial=4))
+    safe = pmesh.spatial_safe_config(cfg, m_spatial)
+    assert not safe.pallas_volume and not safe.fuse_backbone_head \
+        and not safe.fuse_stems
+    # folded/phased XLA reformulations stay on (they partition fine)
+    assert safe.fold_depth and safe.phase_fold_upsample
+    m_data = pmesh.make_mesh(pmesh.MeshConfig(data=8, spatial=1))
+    assert pmesh.spatial_safe_config(cfg, m_data) is cfg
+    assert pmesh.spatial_safe_config(cfg, None) is cfg
+
+
+def test_sharded_eval_tpu_shape_fold_depth(rng):
+    """TPU-shaped sharded eval with the production fast-path config
+    (fold_depth + phased upsampler; Pallas paths off via
+    spatial_safe_config — the exact defaults-under-a-spatial-mesh story
+    the train CLIs now apply)."""
+    mesh = pmesh.make_mesh(pmesh.MeshConfig(data=1, spatial=4))
+    cfg = pmesh.spatial_safe_config(
+        ESMStereoConfig(cv_scale=8, backbone="efficientnet_b2"), mesh)
+    model = ESMStereo(config=cfg)
+    left = jnp.asarray(rng.standard_normal((1, 128, 256, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, 128, 256, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), left, right, train=False)
+
+    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False)[0])
+    want = np.asarray(fwd(variables, left, right))
+
+    bs = pmesh.batch_sharding(mesh)
+    got = np.asarray(fwd(jax.device_put(variables, pmesh.replicated(mesh)),
+                         jax.device_put(left, bs),
+                         jax.device_put(right, bs)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
 def test_sharded_train_step_matches_single_device(rng):
     from esmstereo_tpu.train.state import create_train_state, make_optimizer
     from esmstereo_tpu.train.step import make_train_step

@@ -184,6 +184,64 @@ def test_full_model_parity_second_shape_and_plain_path():
     assert err < 1e-4, f"relative disparity mismatch {err:.2e}"
 
 
+def test_confidence_variant_full_parity():
+    """Full-model parity for ESMStereo_confidence (LAFNet head +
+    conf_upsample, ``ESMStereo_confidence.py:746-976``): transplant the
+    complete state_dict and compare BOTH outputs (disparity + confidence).
+    cv16 uses the smooth full soft-argmin regression, so no top-k
+    knife-edge caveat applies."""
+    from models.ESMStereo_confidence import ESMStereo_confidence
+
+    from esmstereo_tpu.models.confidence import ESMStereoConfidence
+
+    shape = (64, 96)
+    torch.manual_seed(5)
+    net = ESMStereo_confidence(192, gwc=False, norm_correlation=True,
+                               backbone="mobilenetv2_100", cv_scale=16,
+                               device=torch.device("cpu"))
+    g = torch.Generator().manual_seed(6)
+    for m in net.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+            m.weight.data = 0.75 + 0.5 * torch.rand(m.weight.shape,
+                                                    generator=g)
+            m.bias.data = 0.1 * torch.randn(m.bias.shape, generator=g)
+            m.running_mean = 0.1 * torch.randn(m.running_mean.shape,
+                                               generator=g)
+            m.running_var = 0.5 + torch.rand(m.running_var.shape,
+                                             generator=g)
+    # keep the reference's deliberate zero-init on the sampling-scale BN
+    # (ESMStereo_confidence.py:641-642), which our flax head mirrors
+    with torch.no_grad():
+        net.confidence_net.scale_bn3.weight.zero_()
+        net.confidence_net.scale_bn3.bias.zero_()
+    net.eval()
+
+    cfg = ESMStereoConfig(cost_volume="norm_correlation",
+                          backbone="mobilenetv2_100", cv_scale=16)
+    model = ESMStereoConfidence(config=cfg)
+    zeros = jnp.zeros((1, *shape, 3))
+    variables = model.init(jax.random.key(0), zeros, zeros)
+    variables = load_reference_weights(
+        variables, net.state_dict(), cv_scale=16,
+        cost_volume="norm_correlation", backbone="mobilenetv2_100",
+        confidence=True)
+
+    rng = np.random.default_rng(9)
+    left = rng.standard_normal((1, 3, *shape)).astype(np.float32)
+    right = rng.standard_normal((1, 3, *shape)).astype(np.float32)
+    with torch.no_grad():
+        t_disp, t_conf = net(torch.from_numpy(left), torch.from_numpy(right))
+    j_disp, j_conf = model.apply(
+        variables, jnp.asarray(left.transpose(0, 2, 3, 1)),
+        jnp.asarray(right.transpose(0, 2, 3, 1)), train=False)
+
+    d_scale = max(1.0, float(np.abs(t_disp.numpy()).max()))
+    err_d = float(np.abs(t_disp.numpy() - np.asarray(j_disp)).max()) / d_scale
+    assert err_d < 1e-4, f"disparity mismatch {err_d:.2e}"
+    err_c = float(np.abs(t_conf.numpy() - np.asarray(j_conf)).max())
+    assert err_c < 1e-4, f"confidence mismatch {err_c:.2e}"  # conf in [0,1]
+
+
 def test_trt_variant_matches_eval_path():
     """ESMStereo_trt is byte-identical to ESMStereo except the forward
     signature/return (ESMStereo_trt.py:638,735); its state_dict transplants

@@ -112,3 +112,36 @@ def test_stereo_eval_matches_python(pipeline_tool, tmp_path, rng):
     np.testing.assert_allclose(got_epe, want_epe, atol=1e-3)
     np.testing.assert_allclose(got_d1, want_d1, atol=1e-3)
     assert (tmp_path / "err.png").exists()
+
+
+def test_pjrt_end_to_end():
+    """FULL native serving path on real hardware: StableHLO export ->
+    PJRT Compile -> Execute -> postprocess, golden-compared against the
+    Python forward (tools/pjrt_e2e.py; counterpart of the reference's
+    deserialize -> enqueueV3 -> postprocess,
+    kitti_publisher_cuda_node.cpp:177-263,323-383).
+
+    Needs the TPU tunnel plugin and ~5-10 min of wall time (remote compile
+    + session claim), so it is opt-in: set ESMSTEREO_PJRT_E2E=1. The
+    recorded artifact of the last full run is committed as PJRT_E2E.json
+    at the repo root (uint16 max diff 1 = 1/256 px vs the CPU forward).
+    """
+    import json
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ESMSTEREO_PJRT_E2E") != "1":
+        pytest.skip("set ESMSTEREO_PJRT_E2E=1 to run the TPU-tunnel "
+                    "serving E2E (see PJRT_E2E.json for the recorded run)")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = "/tmp/pjrt_e2e_test.json"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/pjrt_e2e.py"),
+         "--out_json", out_json],
+        check=True, timeout=1800, env=env)
+    result = json.load(open(out_json))
+    assert result["ok"], result
+    assert result["uint16_max_diff"] <= 2, result

@@ -1,0 +1,149 @@
+"""End-to-end C++ PJRT serving check: export -> compile -> execute -> golden.
+
+Drives the full native serving path the reference exercises with TensorRT
+(``kitti_publisher_cuda_node.cpp:177-263,323-383``: deserialize -> enqueue
+-> postprocess), TPU-natively: export a StableHLO module, run the C++
+``stereo_infer`` binary against a real PJRT plugin (the TPU tunnel plugin
+by default), and compare its uint16 disparity PNG against the Python
+forward run through the same pre/post pipeline.
+
+Writes ``PJRT_E2E.json`` at the repo root with the result.
+
+The plugin create-options replicate what jax's own registration passes
+(fresh session id per run; topology/remote-compile from the environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="C++ PJRT end-to-end golden run")
+    p.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--workdir", default="/tmp/pjrt_e2e")
+    p.add_argument("--infer_bin",
+                   default=os.path.join(REPO, "serving/build/stereo_infer"))
+    p.add_argument("--out_json", default=os.path.join(REPO, "PJRT_E2E.json"))
+    return p.parse_args()
+
+
+def axon_env() -> dict:
+    env = dict(os.environ)
+    env.update({
+        "AXON_COMPAT_VERSION": env.get("AXON_COMPAT_VERSION", "49"),
+        "AXON_POOL_SVC_OVERRIDE": "127.0.0.1",
+        "AXON_LOOPBACK_RELAY": "1",
+        "TPU_WORKER_HOSTNAMES": "localhost",
+        "TPU_SKIP_MDS_QUERY": "1",
+    })
+    return env
+
+
+def axon_plugin_options() -> list[str]:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    opts = {
+        "remote_compile": "1",
+        "local_only": "0",
+        "priority": "0",
+        "n_slices": "1",
+        "rank": "4294967295",
+        "topology": f"{gen}:1x1x1",
+        "session_id": str(uuid.uuid4()),
+    }
+    flags = []
+    for k, v in opts.items():
+        flags += ["--plugin_option", f"{k}={v}"]
+    return flags
+
+
+def main() -> int:
+    args = parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import cv2
+    import jax.export
+    import jax.numpy as jnp
+    import numpy as np
+
+    # 1) export a tiny S-variant model (CPU trace; portable StableHLO)
+    model_path = os.path.join(args.workdir, "StereoTiny")
+    export_cmd = [sys.executable, os.path.join(REPO, "tools/export_stablehlo.py"),
+                  "--cpu", "--cv_scale", "16", "--backbone", "mobilenetv2_100",
+                  "--cv", "norm_correlation", "--height", str(args.height),
+                  "--width", str(args.width), "--out", model_path]
+    subprocess.run(export_cmd, check=True, cwd=os.path.join(REPO, "tools"))
+
+    # 2) synthetic stereo pair
+    rng = np.random.default_rng(3)
+    img = (rng.random((args.height, args.width, 3)) * 255).astype(np.uint8)
+    left_p = os.path.join(args.workdir, "l.png")
+    right_p = os.path.join(args.workdir, "r.png")
+    cv2.imwrite(left_p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(right_p, cv2.cvtColor(np.roll(img, -4, axis=1),
+                                      cv2.COLOR_RGB2BGR))
+
+    # 3) run the C++ binary against the PJRT plugin
+    out_png = os.path.join(args.workdir, "disp.png")
+    cmd = [args.infer_bin, "--model", model_path + ".stablehlo.mlir",
+           "--plugin", args.plugin, "--left", left_p, "--right", right_p,
+           "--out", out_png, "--height", str(args.height),
+           "--width", str(args.width)] + axon_plugin_options()
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=axon_env(), capture_output=True,
+                          text=True, timeout=1800)
+    wall_s = time.time() - t0
+    print(proc.stdout)
+    if proc.returncode != 0:
+        print(proc.stderr, file=sys.stderr)
+        return 1
+
+    # 4) Python-side golden through the identical pre/post pipeline
+    exported = jax.export.deserialize(
+        open(model_path + ".jax_export.bin", "rb").read())
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def prep(im):
+        return ((im.astype(np.float32) / 255.0 - mean) / std)[None]
+
+    out = exported.call(jnp.asarray(prep(img)),
+                        jnp.asarray(prep(np.roll(img, -4, axis=1))))
+    if isinstance(out, (tuple, list)):
+        out = out[0]
+    disp = np.asarray(out).reshape(args.height, args.width)
+    med = cv2.medianBlur(disp.astype(np.float32), 5)
+    valid = (med > 0) & (med < 192)
+    expect = (med * 256).astype(np.uint16) * valid
+    got = cv2.imread(out_png, cv2.IMREAD_UNCHANGED)
+    diff = np.abs(expect.astype(np.int64) - got.astype(np.int64))
+    result = {
+        "ok": bool(diff.max() <= 2),
+        "plugin": args.plugin,
+        "model_shape": [args.height, args.width],
+        "uint16_max_diff": int(diff.max()),
+        "uint16_mean_diff": float(diff.mean()),
+        "nonzero_pixels": int((got > 0).sum()),
+        "wall_seconds": round(wall_s, 1),
+        "stdout_tail": proc.stdout.strip().splitlines()[-4:],
+    }
+    with open(args.out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
