@@ -145,3 +145,15 @@ def test_pjrt_end_to_end():
     result = json.load(open(out_json))
     assert result["ok"], result
     assert result["uint16_max_diff"] <= 2, result
+
+
+def test_ros2_node_syntax():
+    """Type-check the ROS2 publisher node against the minimal rclcpp API
+    stubs (no ROS distro in this environment; a real build still goes
+    through serving/ros2/CMakeLists.txt + ament)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "serving/ros2/syntax_check.sh")
+    out = subprocess.run([script], capture_output=True, text=True,
+                         timeout=180)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "syntax OK" in out.stdout

@@ -80,6 +80,11 @@ def main() -> None:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-GELU numerics (the deployment headline)")
+    p.add_argument("--cost", action="store_true",
+                   help="also print XLA's flops/bytes estimate per stage "
+                        "and the roofline light-speed time")
     p.add_argument("--cumulative", action="store_true",
                    help="also time progressively longer pipeline prefixes "
                         "(localises layout costs at stage boundaries that "
@@ -102,6 +107,10 @@ def main() -> None:
     import flax.linen as fnn
     import jax.numpy as jnp
     import numpy as np
+
+    if args.fast_gelu:
+        from esmstereo_tpu.nn.blocks import set_gelu_approximate
+        set_gelu_approximate(True)
 
     from esmstereo_tpu import ops
     from esmstereo_tpu.backbones import ARCHS, FeaturePyramid
@@ -132,6 +141,22 @@ def main() -> None:
 
     report = {}
 
+    def stage_cost(name, fn, *inputs):
+        if not args.cost:
+            return {}
+        from esmstereo_tpu.utils.profiling import Roofline, cost_analysis
+        try:
+            ca = cost_analysis(fn, *inputs)
+        except Exception as e:  # cost analysis can be missing on a backend
+            return {"cost_error": str(e)[:80]}
+        bits = 16 if args.dtype == "bfloat16" else 32
+        ls = Roofline().light_speed_ms(ca["flops"], ca["bytes_accessed"],
+                                       dtype_bits=bits)
+        return {"gflops": round(ca["flops"] / 1e9, 1),
+                "gbytes": round(ca["bytes_accessed"] / 1e9, 3),
+                "light_ms": round(ls["light_speed_ms"], 3),
+                "bound": ls["bound"]}
+
     def run_stage(name, module, *inputs, **kw):
         variables = jax.jit(
             lambda *a: module.init(key, *a, **kw))(*inputs)
@@ -141,7 +166,8 @@ def main() -> None:
 
         ms = chained_time_ms(fn, inputs, reps=args.reps)
         report[name] = round(ms, 3)
-        print(json.dumps({"stage": name, "ms": round(ms, 3)}), flush=True)
+        print(json.dumps({"stage": name, "ms": round(ms, 3),
+                          **stage_cost(name, fn, *inputs)}), flush=True)
         return jax.jit(fn)(*inputs)
 
     # --- towers ----------------------------------------------------------
