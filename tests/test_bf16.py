@@ -119,22 +119,38 @@ def test_deployment_precision_headline_config():
     assert diff[~flips].mean() < 0.05, diff[~flips].mean()
 
 
-def test_bf16_train_step_overfits():
-    cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100",
-                          dtype=jnp.bfloat16)
-    model = ESMStereo(config=cfg)
+def test_bf16_train_step_overfits_like_fp32():
+    """Mixed-precision training recipe: bf16 compute / fp32 master params.
+
+    The reference trains fp32 and deploys fp16 (SURVEY §2.2); on TPU the
+    bf16 train step needs no loss scaling (bf16 shares fp32's exponent
+    range). Assert the bf16 trajectory converges like an fp32 twin run
+    from the same init on the same data — not merely that loss drops.
+    """
     rng = np.random.default_rng(0)
     batch = _to_jax(make_batch(rng, batch=1, h=64, w=64, disp_range=(4, 10)))
 
-    state = create_train_state(model, jax.random.key(0), batch,
-                               make_optimizer("adamw", 1e-3))
-    # params must stay float32 under a bf16 compute dtype
-    assert all(p.dtype == jnp.float32
-               for p in jax.tree.leaves(state.params))
-    step = jax.jit(make_train_step(model), donate_argnums=(0,))
-    losses = []
-    for _ in range(8):
-        state, metrics = step(state, batch)
-        losses.append(float(metrics["loss"]))
-    assert np.isfinite(losses).all(), losses
-    assert losses[-1] < losses[0] * 0.8, losses
+    def run(dtype):
+        cfg = ESMStereoConfig(cv_scale=4, backbone="mobilenetv2_100",
+                              dtype=dtype)
+        model = ESMStereo(config=cfg)
+        state = create_train_state(model, jax.random.key(0), batch,
+                                   make_optimizer("adamw", 1e-3))
+        # params must stay float32 regardless of compute dtype
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        step = jax.jit(make_train_step(model), donate_argnums=(0,))
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all(), losses
+        return losses
+
+    l16 = run(jnp.bfloat16)
+    l32 = run(None)
+    assert l16[-1] < l16[0] * 0.8, l16
+    # same-shape convergence: the bf16 run ends within 1.5x of the fp32
+    # loss (both start from identical init/loss, so this bounds the
+    # precision-induced optimization gap, not the problem difficulty)
+    assert l16[-1] < max(l32[-1] * 1.5, l32[0] * 0.8), (l16, l32)
