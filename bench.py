@@ -51,8 +51,10 @@ def _chained_time(model, variables, left, right, n: int) -> float:
         def body(carry, _):
             li, ri = carry
             d = model.apply(v, li, ri, train=False)[0]
-            l2 = li + (d * 1e-30)[..., None].astype(li.dtype)
-            return (l2, ri), ()
+            # perturb BOTH eyes so no subgraph is loop-invariant (see
+            # utils.profiling.chained_scan_time_ms)
+            eps = (d * 1e-30)[..., None].astype(li.dtype)
+            return (li + eps, ri + eps), ()
 
         (lf, _), _ = jax.lax.scan(body, (l, r), None, length=n)
         return lf[0, 0, 0]

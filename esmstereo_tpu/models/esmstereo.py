@@ -108,6 +108,22 @@ class ESMStereoConfig:
     # spatially-sharded pjit (set this False there — a Pallas call
     # cannot be partitioned over the H grid by XLA).
     pallas_volume: bool = True
+    # Execute group_stem + agg (the two banded cost-volume entry convs)
+    # as one Pallas kernel (ops.pallas.fused_agg_stem) on accelerator
+    # backends in eval mode: XLA's conv emitter re-reads operands per
+    # K-tile at their 5-14k-wide contractions (2.8 ms vs ~0.5 ms at
+    # 544x960 L bf16). Param-tree compatible; falls back for training,
+    # CPU, cv16 norm-correlation (attention multiply sits between the
+    # convs), and under spatial sharding.
+    fuse_agg_stem: bool = True
+    # Execute the cv4 upsampler's to_feat + FMBlock x2 + shuffle-up as one
+    # Pallas kernel (ops.pallas.fused_mixer) on accelerator backends in
+    # eval mode: the plain lowering's 16-channel tensors run every
+    # LayerNorm/MLP/depthwise op at 12% lane utilization (~1.3 ms/frame
+    # at 544x960). Param-tree compatible; falls back for training, CPU,
+    # non-lane-aligned widths, and under spatial sharding (a pallas_call
+    # cannot be partitioned over the H grid).
+    fuse_mixer: bool = True
     dtype: Any = None
 
     def __post_init__(self):
@@ -553,6 +569,15 @@ class ESMStereo(nn.Module):
             # train mode (no AD rule for pallas_call) keep the jnp path.
             use_pk = (cfg.pallas_volume and not train
                       and jax.default_backend() != "cpu")
+            # Fused stem+agg kernel: XLA's lowering of these two banded
+            # convs re-reads operands per K-tile at their ~5-14k-wide
+            # contractions (2.4 + 0.4 ms at 544x960 L bf16 vs a ~0.5 ms
+            # roofline; tools/agg_experiments.py). Only when the two convs
+            # are adjacent (the cv16 norm-correlation attention multiply
+            # sits between them) and off the CPU/train/sharded paths.
+            use_fas = (cfg.fuse_agg_stem and not train
+                       and not self.is_initializing()
+                       and jax.default_backend() != "cpu")
             if cfg.cost_volume == "norm_correlation":
                 if use_pk:
                     from esmstereo_tpu.ops.pallas import correlation as _pk
@@ -561,11 +586,8 @@ class ESMStereo(nn.Module):
                 else:
                     volume = ops.build_norm_correlation_volume_folded(
                         match_l, match_r, num_bins)
-                volume = FoldedConvBlock3D(red, 1, num_bins, 3, 1, 1,
-                                           dtype=dtype, name="corr_stem")(
-                    volume, train=train)
-                if v == 16:
-                    volume = _mul_att_folded(volume, att2d, num_bins)
+                stem_name, stem_ci = "corr_stem", 1
+                use_fas = use_fas and v != 16
             else:
                 if use_pk:
                     from esmstereo_tpu.ops.pallas import correlation as _pk
@@ -576,13 +598,30 @@ class ESMStereo(nn.Module):
                         match_l, match_r, num_bins, cfg.num_groups)
                 if v == 16:
                     volume = _mul_att_folded(volume, att2d, num_bins)
-                volume = FoldedConvBlock3D(red, cfg.num_groups, num_bins,
-                                           3, 1, 1, dtype=dtype,
-                                           name="group_stem")(
+                stem_name, stem_ci = "group_stem", cfg.num_groups
+
+            if use_fas:
+                from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
+                from esmstereo_tpu.nn.folded3d import FoldedConvParams
+                from esmstereo_tpu.ops.pallas import fused_agg_stem as _fas
+                p1, s1 = FoldedConvParams((3, 3, 3, stem_ci, red),
+                                          name=stem_name)()
+                p2, s2 = FoldedConvParams((3, 3, 3, red, red), name="agg")()
+                consts = _fas.prepare_consts(
+                    p1["conv"]["Conv_0"]["kernel"], (p1["bn"], s1["bn"]),
+                    p2["conv"]["Conv_0"]["kernel"], (p2["bn"], s2["bn"]),
+                    depth=num_bins, gelu_approximate=GELU_APPROXIMATE)
+                volume = _fas.folded_stem_agg_apply(
+                    volume.astype(dtype or volume.dtype), consts)
+            else:
+                volume = FoldedConvBlock3D(red, stem_ci, num_bins, 3, 1, 1,
+                                           dtype=dtype, name=stem_name)(
                     volume, train=train)
-            volume = FoldedConvBlock3D(red, red, num_bins, 3, 1, 1,
-                                       dtype=dtype, name="agg")(
-                volume, train=train)
+                if cfg.cost_volume == "norm_correlation" and v == 16:
+                    volume = _mul_att_folded(volume, att2d, num_bins)
+                volume = FoldedConvBlock3D(red, red, num_bins, 3, 1, 1,
+                                           dtype=dtype, name="agg")(
+                    volume, train=train)
             cost_folded = FoldedAggregation3D(
                 red, add_channel, num_bins, dtype=dtype,
                 name="aggregation_out")(volume, train=train)
@@ -621,10 +660,11 @@ class ESMStereo(nn.Module):
             init_pred = ops.regression_topk(cost, None, 2)
             if phased:
                 from esmstereo_tpu.models.phased_upsample import PhUpsample4
-                ups_cls = PhUpsample4
+                ups = PhUpsample4(dtype=dtype, fuse_mixer=cfg.fuse_mixer,
+                                  name="upsample_module")
             else:
-                ups_cls = Upsample4
-            disp_1, disp_2 = ups_cls(dtype=dtype, name="upsample_module")(
+                ups = Upsample4(dtype=dtype, name="upsample_module")
+            disp_1, disp_2 = ups(
                 fl[1], fl[0], stems_l[0], init_pred, train=train)
             outs = [disp_1, disp_2]
         elif v == 8:

@@ -51,6 +51,12 @@ class FoldedAggregation3D(nn.Module):
 
         def block(feat, cin_, d_, k, s, p, name, deconv=False, bn=True,
                   act="gelu", **kw):
+            # depth_block=8 beats the FoldedConvBlock3D default of 16 for
+            # the hourglass's channel widths (out blocks 8*24/8*40 lanes
+            # still fill the MXU, and the narrower band halves the
+            # structural-zero MACs): 1.55 -> 1.15 ms at 544x960 L bf16 on
+            # v5e (tools/agg_experiments.py).
+            kw.setdefault("depth_block", 8)
             return FoldedConvBlock3D(
                 feat, cin_, d_, k, s, p, deconv=deconv, bn=bn, act=act,
                 dtype=self.dtype, name=name, **kw)

@@ -376,26 +376,124 @@ class PhUpRefinement(nn.Module):
                            name="conv1_up")(agg1, train=train)
 
 
+class _LNParams(nn.Module):
+    """ChannelLayerNorm weight at the module-compatible path."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self):
+        return {"weight": self.param("weight", nn.initializers.ones,
+                                     (self.dim,))}
+
+
+def _conv_holder(shape, name, bias=True) -> dict:
+    """TorchConv-compatible param subtree <name>/Conv_0/{kernel[,bias]}
+    with torch init (flax derives param RNGs from the PATH, so matching
+    names reproduce the plain modules' init values exactly)."""
+    from esmstereo_tpu.backbones.fused import _ConvParams
+
+    return {"Conv_0": _ConvParams(tuple(shape), bias=bias, init="torch",
+                                  name=name)()}
+
+
+class _SMParams(nn.Module):
+    """SMLayer parameter tree (norm1/mlp1/spatial/norm2/mlp2 paths)."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self) -> dict:
+        c = self.dim
+        return {
+            "norm1": _LNParams(c, name="norm1")(),
+            "mlp1": _MLPParams(c, name="mlp1")(),
+            "spatial": _conv_holder((7, 7, 1, c), "spatial"),
+            "norm2": _LNParams(c, name="norm2")(),
+            "mlp2": _MLPParams(c, name="mlp2")(),
+        }
+
+
+class _MLPParams(nn.Module):
+    """SplitPointMlp parameter tree (fc1/fc2)."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self) -> dict:
+        c = self.dim
+        return {
+            "fc1": _conv_holder((1, 1, c // 2, c), "fc1"),
+            "fc2": _conv_holder((1, 1, c, c // 2), "fc2"),
+        }
+
+
+class _FMParams(nn.Module):
+    """FMBlock parameter tree (sm1/sm2/conv_expand/conv_project)."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self) -> dict:
+        c = self.dim
+        return {
+            "sm1": _SMParams(c, name="sm1")(),
+            "sm2": _SMParams(c, name="sm2")(),
+            "conv_expand": _conv_holder((3, 3, c, c * 2), "conv_expand"),
+            "conv_project": _conv_holder((1, 1, c * 2, c), "conv_project"),
+        }
+
+
+class _UpParams(nn.Module):
+    """PhPixelShuffleUp parameter tree (conv/Conv_0; torch 1x1 init ==
+    the module's U(-1/sqrt(ci), ..) for both kernel and bias)."""
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self) -> dict:
+        c = self.dim
+        return {"conv": _conv_holder((1, 1, c, c * 4), "conv")}
+
+
 class PhUpStage2x(nn.Module):
     """stage2x of Upsample4: interior at 1/4 (plain), exit at 1/2 (p=2)."""
 
     dtype: Any = None
+    fuse_mixer: bool = True
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, init_disp: Array,
                  *, train: bool = False) -> Array:
         from esmstereo_tpu.models.esmstereo import DispFeatures, SpxBlock
-        from esmstereo_tpu.nn.blocks import TorchConv
-        from esmstereo_tpu.nn.shufflemixer import FMBlock
+        from esmstereo_tpu.ops.pallas import fused_mixer as _fm
 
         dt = self.dtype
         d = DispFeatures(32, dtype=dt, name="dm")(init_disp, train=train)
         x = SpxBlock(32, 32, dtype=dt, name="spx")(
             jnp.concatenate([d, f2x], axis=-1), train=train)
-        x = TorchConv(16, 3, 1, 1, dtype=dt, name="to_feat")(x)
-        x = FMBlock(16, 7, 2, dtype=dt, name="block0")(x)
-        x = FMBlock(16, 7, 2, dtype=dt, name="block1")(x)
-        x = PhPixelShuffleUp(16, 16, 1, dtype=dt, name="up")(x)
+        # to_feat + FMBlock x2 + shuffle-up as ONE Pallas kernel on
+        # accelerator backends: the plain lowering's 16-channel tensors
+        # run at 12% lane utilization (~1.3 ms of the frame; see the
+        # kernel docstring). Same param tree either way (holders declare
+        # the plain modules' exact paths).
+        mix_params = {
+            "to_feat": _conv_holder((3, 3, x.shape[-1], 16), "to_feat",
+                                    bias=False),
+            "block0": _FMParams(16, name="block0")(),
+            "block1": _FMParams(16, name="block1")(),
+            "up": _UpParams(16, name="up")(),
+        }
+        run_kernel = (self.fuse_mixer and not train
+                      and not self.is_initializing()
+                      and jax.default_backend() != "cpu"
+                      and (x.shape[2] * 16) % 128 == 0)
+        if run_kernel:
+            consts = _fm.prepare_consts(mix_params, width=x.shape[2])
+            x = _fm.fused_mixer_apply(x, consts)
+            x = x.astype(dt or x.dtype)
+        else:
+            x = _fm.mixer_reference(x, mix_params, dtype=dt)
         x = PhConv(1, 16, 3, 1, 2, 2, use_bias=True, flat=True, dtype=dt,
                    name="tail")(x)
         x2 = PhUpRefinement(32, 2, 1, 1, 96, 48, dtype=dt, name="ref")(
@@ -436,11 +534,13 @@ class PhUpsample4(nn.Module):
     """
 
     dtype: Any = None
+    fuse_mixer: bool = True
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, f4x: Array, init_disp: Array,
                  *, train: bool = False) -> tuple[Array, Array]:
-        up2 = PhUpStage2x(dtype=self.dtype, name="stage2x")(
+        up2 = PhUpStage2x(dtype=self.dtype, fuse_mixer=self.fuse_mixer,
+                          name="stage2x")(
             f1x, f2x, init_disp, train=train)
         up4 = PhUpStage4x(dtype=self.dtype, name="stage4x")(
             up2, f2x, f4x, train=train)

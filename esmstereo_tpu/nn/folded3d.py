@@ -249,6 +249,25 @@ class FoldedConvBlock3D(nn.Module):
         return apply_act(y, self.act)
 
 
+class FoldedConvParams(nn.Module):
+    """Parameter/stat tree of a ``FoldedConvBlock3D`` (conv/Conv_0 kernel +
+    bn scale/bias/mean/var) at the exact paths — and with the same torch
+    init — WITHOUT executing the conv. Used by fused kernels that consume
+    the raw parameter values (ops.pallas.fused_agg_stem)."""
+
+    shape: Sequence[int]        # (kd, kh, kw, ci, co)
+
+    @nn.compact
+    def __call__(self):
+        from esmstereo_tpu.backbones.fused import _BNParams, _ConvParams
+
+        co = self.shape[-1]
+        conv = {"Conv_0": _ConvParams(tuple(self.shape), bias=False,
+                                      init="torch", name="conv")()}
+        bn_p, bn_s = _BNParams(co, name="bn")()
+        return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
+
+
 def unfold_volume(x: Array, channels: int) -> Array:
     """(B, H, W, D*C) -> (B, D, H, W, C)."""
     b, h, w, dc = x.shape

@@ -1,0 +1,363 @@
+"""Fused Pallas kernel for the ESM upsampler's ShuffleMixer section.
+
+Counterpart of the reference's ``to_feat -> FMBlock x2 -> PixelShuffle``
+chain inside ``upsample4`` (``/root/reference/models/ESMStereo.py:242-318``,
+blocks from ``models/shufflemixer.py:23-132``). On TPU the plain lowering
+of this section is the single most expensive part of the upsampler: every
+LayerNorm / point-MLP / depthwise-7x7 / residual materializes a
+(H/4, W/4, 16) tensor whose 16-channel lane dimension is padded to 128,
+so each of the ~30 op groups moves ~8x its useful bytes — measured
+0.62 ms per FMBlock at 544x960 on v5e (1.24 ms of the 3.7 ms upsampler).
+
+This kernel runs the whole section in one ``pallas_call`` on a **flat-lane
+layout** — rows are ``(H, W*C)`` vectors, every intermediate lives in VMEM
+(the full 136x240 base-grid image fits: ~2-8 MB per buffer), and:
+
+  * dense 3x3 convs are 9 shifted block-diagonal MXU matmuls
+    (``kron(I_px, W[kh,kw])``; boundary pixels zero-masked on the shifted
+    operand),
+  * channel LayerNorm statistics are one ``kron(I_px, ones)`` matmul for
+    the group sums (per-pixel 16-lane reductions without lane-splitting
+    reshapes), computed in fp32 like the plain path,
+  * the split-point MLPs fold the half-channel split, the concat with the
+    passthrough half, AND the g=8 channel shuffle into the two matmul
+    weight matrices (zero runtime permutation cost),
+  * the depthwise 7x7 is 49 shifted VPU FMAs with boundary masking baked
+    into statically zeroed tap constants,
+  * the PixelShuffle 1x1 conv carries its phase-major output permutation
+    in its matmul columns (the ``PhPixelShuffleUp`` trick, fused).
+
+Eval-only; exactness vs the plain modules is covered by
+tests/test_fused_mixer.py (interpret mode == plain composition).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esmstereo_tpu.ops.pallas.fused_head import (
+    _block_diag,
+    _pw_px,
+    _roll,
+    _shift_flat,
+)
+
+Array = jax.Array
+
+_C = 16          # mixer channel width (n_feats of upsample4's stage2x)
+_LN_EPS = 1e-5
+
+
+def _shuffle_p(groups: int = 8, c: int = _C) -> np.ndarray:
+    """(c, c) matrix P with ``out = in @ P`` == channel_shuffle(in, groups)
+    (``shufflemixer.py:37`` rearrange ``(g d) -> (d g)``)."""
+    d = c // groups
+    perm = np.empty((c,), np.int64)
+    for j in range(c):
+        dd, g = divmod(j, groups)
+        perm[j] = g * d + dd
+    p = np.zeros((c, c), np.float32)
+    p[perm, np.arange(c)] = 1.0
+    return p
+
+
+def _up_perm_idx() -> np.ndarray:
+    """Output-lane permutation of PhPixelShuffleUp(16, 16, p_in=1): torch
+    pixel-shuffle channel order (c, ry, rx) -> phase-major ((qy qx), c)."""
+    from esmstereo_tpu.models.phased_upsample import _shuffle_perm_idx
+    return _shuffle_perm_idx(_C, 2, 1)
+
+
+def _dense_bds(k: Array, px: int) -> Array:
+    """(3,3,ci,co) conv kernel -> stacked (9, px*ci, px*co) block-diag
+    matmul weights, one per tap."""
+    mats = [_block_diag(k[kh, kw], px) for kh in range(3) for kw in range(3)]
+    return jnp.stack(mats)
+
+
+def _tile_row(v: Array, w: int) -> Array:
+    """(C,) -> (1, W*C) per-pixel-tiled constant row."""
+    return jnp.broadcast_to(v[None], (w, v.shape[0])).reshape(
+        1, w * v.shape[0]).astype(jnp.float32)
+
+
+def prepare_consts(params: dict, *, width: int) -> dict:
+    """Fold the to_feat/block0/block1/up parameter subtrees (torch-layout,
+    paths as produced by ``_UpStage``/``PhUpStage2x``) into the kernel's
+    constant layout. ``width`` is the base-grid width W (= W_img/4)."""
+    w = width
+    f32 = jnp.float32
+
+    tf = params["to_feat"]["Conv_0"]["kernel"].astype(f32)      # (3,3,32,16)
+    ci_tf = tf.shape[2]
+    consts: dict[str, Any] = {
+        "ci_tf": int(ci_tf),
+        "tf_bd": _dense_bds(tf, _pw_px(ci_tf, _C)),
+        "ones_bd": _block_diag(jnp.ones((_C, _C), f32), 128 // _C),
+    }
+
+    p_mat = jnp.asarray(_shuffle_p(), f32)
+    ln_rows, bd_a, bd_b, bd_c, b1_rows, mlp_rows = [], [], [], [], [], []
+    taps_all, sp_bias = [], []
+    ex_bds, ex_bias, pr_bds, pr_bias = [], [], [], []
+    for bi in (0, 1):
+        blk = params[f"block{bi}"]
+        for si in (1, 2):
+            sm = blk[f"sm{si}"]
+            for mi in (1, 2):
+                ln_rows.append(_tile_row(
+                    sm[f"norm{mi}"]["weight"].astype(f32), w))
+                mlp = sm[f"mlp{mi}"]
+                w1 = mlp["fc1"]["Conv_0"]["kernel"].astype(f32)[0, 0]  # (8,16)
+                b1 = mlp["fc1"]["Conv_0"]["bias"].astype(f32)
+                w2 = mlp["fc2"]["Conv_0"]["kernel"].astype(f32)[0, 0]  # (16,8)
+                b2 = mlp["fc2"]["Conv_0"]["bias"].astype(f32)
+                half = w1.shape[0]
+                a = jnp.zeros((_C, _C), f32).at[:half].set(w1)
+                c2 = jnp.zeros((_C, _C), f32).at[:, :half].set(w2)
+                s_hi = jnp.diag(jnp.asarray(
+                    [0.0] * half + [1.0] * (_C - half), f32))
+                bcat = jnp.zeros((_C,), f32).at[:half].set(b2)
+                px = 128 // _C
+                bd_a.append(_block_diag(a, px))
+                bd_b.append(_block_diag(c2 @ p_mat, px))
+                bd_c.append(_block_diag(s_hi @ p_mat, px))
+                b1_rows.append(_tile_row(b1, w))
+                mlp_rows.append(_tile_row(bcat @ p_mat, w))
+            # depthwise 7x7: taps tiled over W with boundary zeroing so the
+            # kernel's lane rolls need no runtime masks
+            dk = sm["spatial"]["Conv_0"]["kernel"].astype(f32)[:, :, 0]
+            t = jnp.broadcast_to(dk[:, :, None, :], (7, 7, w, _C))
+            tnp = np.ones((7, 7, w, _C), np.float32)
+            for dx in range(-3, 4):
+                if dx < 0:
+                    tnp[:, dx + 3, :(-dx)] = 0.0
+                elif dx > 0:
+                    tnp[:, dx + 3, w - dx:] = 0.0
+            t = t * jnp.asarray(tnp)
+            taps_all.append(t.reshape(49, w * _C))
+            sp_bias.append(_tile_row(
+                sm["spatial"]["Conv_0"]["bias"].astype(f32), w))
+        ek = blk["conv_expand"]["Conv_0"]["kernel"].astype(f32)  # (3,3,16,32)
+        co_e = ek.shape[-1]
+        ex_bds.append(_dense_bds(ek, _pw_px(_C, co_e)))
+        ex_bias.append(_tile_row(
+            blk["conv_expand"]["Conv_0"]["bias"].astype(f32), w))
+        pk = blk["conv_project"]["Conv_0"]["kernel"].astype(f32)[0, 0]
+        pr_bds.append(_block_diag(pk, _pw_px(co_e, _C)))
+        pr_bias.append(_tile_row(
+            blk["conv_project"]["Conv_0"]["bias"].astype(f32), w))
+
+    uk = params["up"]["conv"]["Conv_0"]["kernel"].astype(f32)[0, 0]  # (16,64)
+    ub = params["up"]["conv"]["Conv_0"]["bias"].astype(f32)
+    idx = _up_perm_idx()
+    consts.update(
+        ln_rows=jnp.concatenate(ln_rows),        # (8, W*16)
+        bd_a=jnp.stack(bd_a), bd_b=jnp.stack(bd_b), bd_c=jnp.stack(bd_c),
+        b1_rows=jnp.concatenate(b1_rows),        # (8, W*16)
+        mlp_rows=jnp.concatenate(mlp_rows),      # (8, W*16)
+        # tap-major flat leading dims: Mosaic supports only ONE static
+        # integer index into a ref without falling back to >2D gather
+        taps=jnp.concatenate(taps_all),          # (4*49, W*16)
+        sp_bias=jnp.concatenate(sp_bias),        # (4, W*16)
+        ex_bds=jnp.concatenate(ex_bds),          # (2*9, 128, 8*co_e)
+        ex_bias=jnp.concatenate(ex_bias),        # (2, W*co_e)
+        pr_bds=jnp.stack(pr_bds),                # (2, 8*co_e, 128)
+        pr_bias=jnp.concatenate(pr_bias),        # (2, W*16)
+        up_bd=_block_diag(uk[:, idx], _pw_px(_C, uk.shape[-1])),
+        up_bias=_tile_row(ub[idx], w),
+        co_e=int(co_e),
+    )
+    return consts
+
+
+def _shift_rows(x: Array, d: int) -> Array:
+    """result[r] = x[r + d], zero rows outside the image."""
+    if d == 0:
+        return x
+    z = jnp.zeros((abs(d), x.shape[1]), x.dtype)
+    if d > 0:
+        return jnp.concatenate([x[d:], z], axis=0)
+    return jnp.concatenate([z, x[:d]], axis=0)
+
+
+def _mm(x: Array, bd: Array, bf16: bool) -> Array:
+    """Block-diagonal matmul on flat rows: (R, G*gin) @ (gin, gout)."""
+    r, l = x.shape
+    gin, gout = bd.shape
+    g = l // gin
+    lhs = x.reshape(r * g, gin)
+    rhs = bd
+    if bf16:
+        lhs, rhs = lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16)
+    y = jax.lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y.reshape(r, g * gout)
+
+
+def fused_mixer_apply(x: Array, consts: dict, *,
+                      interpret: bool = False) -> Array:
+    """to_feat -> FMBlock x2 -> PhPixelShuffleUp(p_in=1), fused.
+
+    ``x``: (B, H, W, 32) spx output (any float dtype); returns
+    (B, H, W, 64) fp32 — the phase-major (p=2) shuffled-up feature, exactly
+    what the stage tail (``PhConv`` at p=2) consumes.
+    """
+    b, h, w, ci = x.shape
+    assert ci == consts["ci_tf"], (ci, consts["ci_tf"])
+    assert (w * _C) % 128 == 0, ("W*16 must be lane-aligned", w)
+    co_e = consts["co_e"]
+    l_in, l_mid, l_ex = w * ci, w * _C, w * co_e
+    l_out = w * 4 * _C
+    xf = x.astype(jnp.float32).reshape(b, h, l_in)
+    bf16 = not interpret
+
+    def dense3x3(xx, bds_ref, bias_row, cin, sel=None):
+        acc = None
+        for kh in range(3):
+            xr = _shift_rows(xx, kh - 1)
+            for kw in range(3):
+                d = kw - 1
+                xs = _shift_flat(xr, -d * cin, interpret) if d else xr
+                bd = bds_ref[sel * 9 + kh * 3 + kw] if sel is not None \
+                    else bds_ref[kh * 3 + kw]
+                y = _mm(xs, bd, bf16)
+                acc = y if acc is None else acc + y
+        if bias_row is not None:
+            acc = acc + bias_row
+        return acc
+
+    def kernel(tf_ref, ones_ref, ln_ref, a_ref, bb_ref, c_ref, b1_ref,
+               mr_ref, taps_ref, spb_ref, ex_ref, exb_ref, pr_ref, prb_ref,
+               up_ref, upb_ref, x_ref, out_ref):
+        xx = x_ref[0]
+
+        def ln(v, li):
+            s1 = _mm(v, ones_ref[...], False)        # fp32 dot: exact stats
+            s2 = _mm(v * v, ones_ref[...], False)
+            mu = s1 * (1.0 / _C)
+            var = s2 * (1.0 / _C) - mu * mu
+            return (v - mu) / jnp.sqrt(var + _LN_EPS) * ln_ref[li][None]
+
+        def mlp(t, mi):
+            hh = jax.nn.silu(_mm(t, a_ref[mi], bf16) + b1_ref[mi][None])
+            return (_mm(hh, bb_ref[mi], bf16) + _mm(t, c_ref[mi], bf16)
+                    + mr_ref[mi][None])
+
+        def dw7(v, si):
+            acc = jnp.broadcast_to(spb_ref[si][None], v.shape)
+            acc = acc.astype(jnp.float32)
+            for dy in range(-3, 4):
+                vr = _shift_rows(v, dy)
+                for dx in range(-3, 4):
+                    vs = _roll(vr, -dx * _C, interpret) if dx else vr
+                    acc = acc + vs * taps_ref[
+                        si * 49 + (dy + 3) * 7 + dx + 3][None]
+            return acc
+
+        def sm(v, si):
+            v = v + mlp(ln(v, 2 * si), 2 * si)
+            v = dw7(v, si)
+            return v + mlp(ln(v, 2 * si + 1), 2 * si + 1)
+
+        v = dense3x3(xx, tf_ref, None, ci)           # to_feat (no bias)
+        for bi in range(2):
+            y = sm(sm(v, 2 * bi), 2 * bi + 1)
+            x2 = y + v
+            z = jax.nn.silu(
+                dense3x3(x2, ex_ref, exb_ref[bi][None], _C, sel=bi))
+            z = _mm(z, pr_ref[bi], bf16) + prb_ref[bi][None]
+            v = z + x2
+        out = jax.nn.silu(_mm(v, up_ref[...], bf16) + upb_ref[...])
+        out_ref[0] = out
+
+    args = (consts["tf_bd"], consts["ones_bd"], consts["ln_rows"],
+            consts["bd_a"], consts["bd_b"], consts["bd_c"],
+            consts["b1_rows"], consts["mlp_rows"], consts["taps"],
+            consts["sp_bias"], consts["ex_bds"], consts["ex_bias"],
+            consts["pr_bds"], consts["pr_bias"], consts["up_bd"],
+            consts["up_bias"], xf)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+        + [pl.BlockSpec((1, h, l_in), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, l_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, l_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, w, 4 * _C)
+
+
+def mixer_reference(x: Array, params: dict, dtype=None) -> Array:
+    """Pure-jnp eval reference of the fused section (init/CPU fallback).
+
+    Bit-compatible with ``TorchConv(to_feat) -> FMBlock x2 ->
+    PhPixelShuffleUp`` — same lax ops in the same order; verified against
+    the plain modules in tests/test_fused_mixer.py.
+    """
+    dt = dtype or x.dtype
+
+    def conv(v, k, groups=1):
+        dn = jax.lax.conv_dimension_numbers(v.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        pad = (k.shape[0] - 1) // 2
+        return jax.lax.conv_general_dilated(
+            v.astype(dt), k.astype(dt), (1, 1), [(pad, pad)] * 2,
+            dimension_numbers=dn, feature_group_count=groups)
+
+    def ln(v, weight):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.var(vf, axis=-1, keepdims=True)
+        return ((vf - mu) / jnp.sqrt(var + _LN_EPS) * weight).astype(v.dtype)
+
+    shuffle = jnp.asarray(_shuffle_p(), jnp.float32)
+
+    def mlp(t, mp):
+        half = _C // 2
+        t1, t2 = t[..., :half], t[..., half:]
+        k1 = mp["fc1"]["Conv_0"]["kernel"][0, 0]
+        h1 = jax.nn.silu(
+            jnp.einsum("...i,io->...o", t1.astype(dt), k1.astype(dt))
+            + mp["fc1"]["Conv_0"]["bias"].astype(dt))
+        k2 = mp["fc2"]["Conv_0"]["kernel"][0, 0]
+        y1 = (jnp.einsum("...i,io->...o", h1, k2.astype(dt))
+              + mp["fc2"]["Conv_0"]["bias"].astype(dt))
+        cat = jnp.concatenate([y1, t2], axis=-1)
+        return jnp.einsum("...i,ij->...j", cat, shuffle.astype(cat.dtype))
+
+    def sm(v, smp):
+        v = v + mlp(ln(v, smp["norm1"]["weight"]), smp["mlp1"])
+        v = conv(v, smp["spatial"]["Conv_0"]["kernel"], groups=_C) \
+            + smp["spatial"]["Conv_0"]["bias"].astype(dt)
+        return v + mlp(ln(v, smp["norm2"]["weight"]), smp["mlp2"])
+
+    v = conv(x, params["to_feat"]["Conv_0"]["kernel"])
+    for bi in (0, 1):
+        blk = params[f"block{bi}"]
+        y = sm(sm(v, blk["sm1"]), blk["sm2"])
+        x2 = y + v
+        z = jax.nn.silu(conv(x2, blk["conv_expand"]["Conv_0"]["kernel"])
+                        + blk["conv_expand"]["Conv_0"]["bias"].astype(dt))
+        z = (jnp.einsum("...i,io->...o", z,
+                        blk["conv_project"]["Conv_0"]["kernel"][0, 0]
+                        .astype(dt))
+             + blk["conv_project"]["Conv_0"]["bias"].astype(dt))
+        v = z + x2
+    uk = params["up"]["conv"]["Conv_0"]["kernel"][0, 0]
+    ub = params["up"]["conv"]["Conv_0"]["bias"]
+    idx = _up_perm_idx()
+    y = jnp.einsum("...i,io->...o", v, uk[:, idx].astype(dt))
+    return jax.nn.silu(y + ub[idx].astype(dt))

@@ -82,8 +82,12 @@ def chained_scan_time_ms(apply_fn: Callable, variables, left, right,
         def body(carry, _):
             li, ri = carry
             d = apply_fn(v, li, ri)
-            l2 = li + (d * 1e-30)[..., None].astype(li.dtype)
-            return (l2, ri), ()
+            # perturb BOTH eyes: with a left-only dependency XLA hoists
+            # every right-only subgraph out of the scan as loop-invariant
+            # (harmless under siamese batching, where every op consumes
+            # the [left; right] concat, but a silent 2x lie otherwise)
+            eps = (d * 1e-30)[..., None].astype(li.dtype)
+            return (li + eps, ri + eps), ()
 
         (lf, _), _ = jax.lax.scan(body, (l, r), None, length=n)
         return lf[0, 0, 0]

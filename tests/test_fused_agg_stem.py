@@ -1,0 +1,65 @@
+"""Fused group_stem+agg kernel: interpret mode == FoldedConvBlock3D pair."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esmstereo_tpu.nn.folded3d import FoldedConvBlock3D
+from esmstereo_tpu.ops.pallas import fused_agg_stem as fas
+
+
+class _Pair(nn.Module):
+    ci: int = 32
+    co: int = 8
+    depth: int = 16
+
+    @nn.compact
+    def __call__(self, v, *, train=False):
+        v = FoldedConvBlock3D(self.co, self.ci, self.depth, 3, 1, 1,
+                              name="group_stem")(v, train=train)
+        return FoldedConvBlock3D(self.co, self.co, self.depth, 3, 1, 1,
+                                 name="agg")(v, train=train)
+
+
+@pytest.mark.parametrize("ci,depth,h,w", [(32, 16, 8, 16), (8, 16, 12, 8),
+                                          (32, 24, 9, 8)])
+def test_kernel_matches_folded_pair(rng, ci, depth, h, w):
+    vol = jnp.asarray(rng.standard_normal((1, h, w, depth * ci)),
+                      jnp.float32)
+    pair = _Pair(ci=ci, depth=depth)
+    v = pair.init(jax.random.key(0), vol, train=False)
+    # non-trivial BN stats so the fold is actually exercised
+    stats = jax.tree.map(lambda x: x + 0.3 * np.abs(rng.standard_normal(
+        x.shape)).astype(np.float32), v["batch_stats"])
+    v = {"params": v["params"], "batch_stats": stats}
+    want = pair.apply(v, vol, train=False)
+
+    p, s = v["params"], v["batch_stats"]
+    consts = fas.prepare_consts(
+        p["group_stem"]["conv"]["Conv_0"]["kernel"],
+        (p["group_stem"]["bn"], s["group_stem"]["bn"]),
+        p["agg"]["conv"]["Conv_0"]["kernel"],
+        (p["agg"]["bn"], s["agg"]["bn"]),
+        depth=depth, gelu_approximate=False)
+    got = fas.folded_stem_agg_apply(vol, consts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_batch2(rng):
+    vol = jnp.asarray(rng.standard_normal((2, 8, 8, 16 * 32)), jnp.float32)
+    pair = _Pair(ci=32, depth=16)
+    v = pair.init(jax.random.key(1), vol, train=False)
+    want = pair.apply(v, vol, train=False)
+    p, s = v["params"], v["batch_stats"]
+    consts = fas.prepare_consts(
+        p["group_stem"]["conv"]["Conv_0"]["kernel"],
+        (p["group_stem"]["bn"], s["group_stem"]["bn"]),
+        p["agg"]["conv"]["Conv_0"]["kernel"],
+        (p["agg"]["bn"], s["agg"]["bn"]),
+        depth=16, gelu_approximate=False)
+    got = fas.folded_stem_agg_apply(vol, consts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

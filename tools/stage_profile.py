@@ -44,18 +44,22 @@ def chained_time_ms(fn, args, reps: int = 20) -> float:
 
     def chained(arrs, n):
         def body(carry, _):
-            out = fn(carry, *arrs[1:])
+            out = fn(*carry)
             # consume EVERY output leaf: an eps fed by only one leaf lets
             # XLA dead-code-eliminate the rest of the stage (this once made
             # the backbone look 4x faster than it is)
             eps = sum(jnp.asarray(l.ravel()[0], jnp.float32)
                       for l in jax.tree_util.tree_leaves(out)
                       if hasattr(l, "ravel")) * 1e-30
+            # perturb EVERY input leaf: an eps fed into only arg 0 lets
+            # XLA hoist every computation that does not depend on arg 0
+            # out of the scan as loop-invariant (this once made a
+            # three-input stage look 8x faster than it is)
             leaves, treedef = jax.tree_util.tree_flatten(carry)
-            leaves = [leaves[0] + eps.astype(leaves[0].dtype)] + leaves[1:]
+            leaves = [l + eps.astype(l.dtype) for l in leaves]
             return jax.tree_util.tree_unflatten(treedef, leaves), ()
 
-        c, _ = jax.lax.scan(body, arrs[0], None, length=n)
+        c, _ = jax.lax.scan(body, arrs, None, length=n)
         return jax.tree_util.tree_leaves(c)[0].ravel()[0]
 
     times = {}
