@@ -87,9 +87,13 @@ def main() -> None:
         from esmstereo_tpu.nn.blocks import set_gelu_approximate
         set_gelu_approximate(True)
 
-    cfg = ESMStereoConfig(cv_scale=4, backbone="efficientnet_b2",
-                          cost_volume="gwc",
-                          dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
+    # fast-path kill switches for A/B attribution (all default-on paths)
+    cfg = ESMStereoConfig(
+        cv_scale=4, backbone="efficientnet_b2", cost_volume="gwc",
+        fuse_mixer=os.environ.get("BENCH_FUSE_MIXER", "1") == "1",
+        fuse_agg_stem=os.environ.get("BENCH_FUSE_AGG_STEM", "1") == "1",
+        fuse_backbone_head=os.environ.get("BENCH_FUSE_HEAD", "1") == "1",
+        dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
     model = ESMStereo(config=cfg)
 
     rng = np.random.default_rng(0)

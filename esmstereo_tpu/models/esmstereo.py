@@ -122,8 +122,12 @@ class ESMStereoConfig:
     # LayerNorm/MLP/depthwise op at 12% lane utilization (~1.3 ms/frame
     # at 544x960). Param-tree compatible; falls back for training, CPU,
     # non-lane-aligned widths, and under spatial sharding (a pallas_call
-    # cannot be partitioned over the H grid).
-    fuse_mixer: bool = True
+    # cannot be partitioned over the H grid). OFF by default: the
+    # whole-image kernel's ~400 unrolled vector ops push Mosaic compile
+    # time past 20 minutes at 544x960 through the remote-compile tunnel
+    # (numerically verified and fast once compiled; kept as opt-in until
+    # the op count is restructured — see the kernel docstring).
+    fuse_mixer: bool = False
     dtype: Any = None
 
     def __post_init__(self):

@@ -460,7 +460,7 @@ class PhUpStage2x(nn.Module):
     """stage2x of Upsample4: interior at 1/4 (plain), exit at 1/2 (p=2)."""
 
     dtype: Any = None
-    fuse_mixer: bool = True
+    fuse_mixer: bool = False
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, init_disp: Array,
@@ -534,7 +534,7 @@ class PhUpsample4(nn.Module):
     """
 
     dtype: Any = None
-    fuse_mixer: bool = True
+    fuse_mixer: bool = False
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, f4x: Array, init_disp: Array,

@@ -149,7 +149,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         cp.start()
         cp.wait()
 
-        def conv(x, rows, w_refs, blocks, ci, co, s_ref, t_ref, blk_w):
+        def conv(x, rows, w_refs, blocks, ci, co, s_ref, t_ref):
             """Banded conv + BN + GELU on (rows+2, W, d*ci) -> list of
             per-depth-block (rows, W, blk*co) fp32, concatenated."""
             outs = []
@@ -190,7 +190,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
 
         x = win[...].astype(jnp.float32)
         y1 = conv(x, th + 2, w0_refs, consts["blocks0"], ci0, co0,
-                  s0_ref, t0_ref, None)
+                  s0_ref, t0_ref)
         # conv2 zero-pads ITS input at the image boundary: y1's halo rows
         # outside [0, H) carry conv1-of-padding values (BN offset, not 0)
         # and must be masked — interior tiles' halos are real rows.
@@ -198,7 +198,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         rg = r0 - 1 + ri
         y1 = jnp.where((rg >= 0) & (rg < h), y1, 0.0)
         y2 = conv(y1, th, w1_refs, consts["blocks1"], ci1, co1,
-                  s1_ref, t1_ref, None)
+                  s1_ref, t1_ref)
         out_ref[0] = y2.astype(out_dtype)
 
     args = (*consts["w0"],

@@ -328,12 +328,12 @@ def mixer_reference(x: Array, params: dict, dtype=None) -> Array:
     def mlp(t, mp):
         half = _C // 2
         t1, t2 = t[..., :half], t[..., half:]
-        k1 = mp["fc1"]["Conv_0"]["kernel"][0, 0]
-        h1 = jax.nn.silu(
-            jnp.einsum("...i,io->...o", t1.astype(dt), k1.astype(dt))
-            + mp["fc1"]["Conv_0"]["bias"].astype(dt))
-        k2 = mp["fc2"]["Conv_0"]["kernel"][0, 0]
-        y1 = (jnp.einsum("...i,io->...o", h1, k2.astype(dt))
+        # 1x1s as lax convs (not einsums): the module path lowers them as
+        # convs, and matching the lowering keeps the partitioned (spatial
+        # mesh) reassociation identical to the pre-kernel formulation
+        h1 = jax.nn.silu(conv(t1, mp["fc1"]["Conv_0"]["kernel"])
+                         + mp["fc1"]["Conv_0"]["bias"].astype(dt))
+        y1 = (conv(h1, mp["fc2"]["Conv_0"]["kernel"])
               + mp["fc2"]["Conv_0"]["bias"].astype(dt))
         cat = jnp.concatenate([y1, t2], axis=-1)
         return jnp.einsum("...i,ij->...j", cat, shuffle.astype(cat.dtype))
@@ -351,13 +351,11 @@ def mixer_reference(x: Array, params: dict, dtype=None) -> Array:
         x2 = y + v
         z = jax.nn.silu(conv(x2, blk["conv_expand"]["Conv_0"]["kernel"])
                         + blk["conv_expand"]["Conv_0"]["bias"].astype(dt))
-        z = (jnp.einsum("...i,io->...o", z,
-                        blk["conv_project"]["Conv_0"]["kernel"][0, 0]
-                        .astype(dt))
+        z = (conv(z, blk["conv_project"]["Conv_0"]["kernel"])
              + blk["conv_project"]["Conv_0"]["bias"].astype(dt))
         v = z + x2
-    uk = params["up"]["conv"]["Conv_0"]["kernel"][0, 0]
+    uk = params["up"]["conv"]["Conv_0"]["kernel"]
     ub = params["up"]["conv"]["Conv_0"]["bias"]
     idx = _up_perm_idx()
-    y = jnp.einsum("...i,io->...o", v, uk[:, idx].astype(dt))
+    y = conv(v, uk[:, :, :, idx])
     return jax.nn.silu(y + ub[idx].astype(dt))
