@@ -104,7 +104,7 @@ def prepare_consts(params: dict, *, width: int) -> dict:
 
     p_mat = jnp.asarray(_shuffle_p(), f32)
     ln_rows, bd_a, bd_b, bd_c, b1_rows, mlp_rows = [], [], [], [], [], []
-    taps_all, sp_bias = [], []
+    dw_a0, dw_ap, dw_an, sp_bias = [], [], [], []
     ex_bds, ex_bias, pr_bds, pr_bias = [], [], [], []
     for bi in (0, 1):
         blk = params[f"block{bi}"]
@@ -130,18 +130,30 @@ def prepare_consts(params: dict, *, width: int) -> dict:
                 bd_c.append(_block_diag(s_hi @ p_mat, px))
                 b1_rows.append(_tile_row(b1, w))
                 mlp_rows.append(_tile_row(bcat @ p_mat, w))
-            # depthwise 7x7: taps tiled over W with boundary zeroing so the
-            # kernel's lane rolls need no runtime masks
+            # depthwise 7x7 as banded matmuls: per row tap kh, one
+            # within-group (128,128) band plus prev/next-group bands for
+            # the +-3-pixel reach across the 8-pixel lane group. 21 MXU
+            # matmuls replace 196 unrolled roll-FMAs — the VPU form's op
+            # count pushed Mosaic compile past 20 min at 544x960.
             dk = sm["spatial"]["Conv_0"]["kernel"].astype(f32)[:, :, 0]
-            t = jnp.broadcast_to(dk[:, :, None, :], (7, 7, w, _C))
-            tnp = np.ones((7, 7, w, _C), np.float32)
-            for dx in range(-3, 4):
-                if dx < 0:
-                    tnp[:, dx + 3, :(-dx)] = 0.0
-                elif dx > 0:
-                    tnp[:, dx + 3, w - dx:] = 0.0
-            t = t * jnp.asarray(tnp)
-            taps_all.append(t.reshape(49, w * _C))
+            px = 128 // _C
+            m0 = np.zeros((7, px, px), np.float32)
+            mp = np.zeros((7, px, px), np.float32)
+            mn = np.zeros((7, px, px), np.float32)
+            for po in range(px):
+                for dx in range(-3, 4):
+                    pi = po + dx
+                    if 0 <= pi < px:
+                        m0[dx + 3, pi, po] = 1.0
+                    elif pi < 0:
+                        mp[dx + 3, pi + px, po] = 1.0
+                    else:
+                        mn[dx + 3, pi - px, po] = 1.0
+            eye = jnp.eye(_C, dtype=f32)
+            for dst, m in ((dw_a0, m0), (dw_ap, mp), (dw_an, mn)):
+                a = jnp.einsum("kdc,dpq,ce->kpcqe", dk,
+                               jnp.asarray(m), eye)
+                dst.append(a.reshape(7, px * _C, px * _C))
             sp_bias.append(_tile_row(
                 sm["spatial"]["Conv_0"]["bias"].astype(f32), w))
         ek = blk["conv_expand"]["Conv_0"]["kernel"].astype(f32)  # (3,3,16,32)
@@ -164,7 +176,9 @@ def prepare_consts(params: dict, *, width: int) -> dict:
         mlp_rows=jnp.concatenate(mlp_rows),      # (8, W*16)
         # tap-major flat leading dims: Mosaic supports only ONE static
         # integer index into a ref without falling back to >2D gather
-        taps=jnp.concatenate(taps_all),          # (4*49, W*16)
+        dw_a0=jnp.concatenate(dw_a0),            # (4*7, 128, 128)
+        dw_ap=jnp.concatenate(dw_ap),
+        dw_an=jnp.concatenate(dw_an),
         sp_bias=jnp.concatenate(sp_bias),        # (4, W*16)
         ex_bds=jnp.concatenate(ex_bds),          # (2*9, 128, 8*co_e)
         ex_bias=jnp.concatenate(ex_bias),        # (2, W*co_e)
@@ -234,8 +248,8 @@ def fused_mixer_apply(x: Array, consts: dict, *,
         return acc
 
     def kernel(tf_ref, ones_ref, ln_ref, a_ref, bb_ref, c_ref, b1_ref,
-               mr_ref, taps_ref, spb_ref, ex_ref, exb_ref, pr_ref, prb_ref,
-               up_ref, upb_ref, x_ref, out_ref):
+               mr_ref, dw0_ref, dwp_ref, dwn_ref, spb_ref, ex_ref, exb_ref,
+               pr_ref, prb_ref, up_ref, upb_ref, x_ref, out_ref):
         xx = x_ref[0]
 
         def ln(v, li):
@@ -251,14 +265,20 @@ def fused_mixer_apply(x: Array, consts: dict, *,
                     + mr_ref[mi][None])
 
         def dw7(v, si):
+            # banded-matmul depthwise: prev/next lane-group views rolled
+            # once, row boundaries zero-masked (the lane roll wraps the
+            # row ends into the opposite group)
+            lm = v.shape[-1]
+            ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            vp = jnp.where(ids >= 128, _roll(v, 128, interpret), 0.0)
+            vn = jnp.where(ids < lm - 128, _roll(v, -128, interpret), 0.0)
             acc = jnp.broadcast_to(spb_ref[si][None], v.shape)
             acc = acc.astype(jnp.float32)
             for dy in range(-3, 4):
-                vr = _shift_rows(v, dy)
-                for dx in range(-3, 4):
-                    vs = _roll(vr, -dx * _C, interpret) if dx else vr
-                    acc = acc + vs * taps_ref[
-                        si * 49 + (dy + 3) * 7 + dx + 3][None]
+                t = si * 7 + dy + 3
+                acc = acc + _mm(_shift_rows(v, dy), dw0_ref[t], bf16)
+                acc = acc + _mm(_shift_rows(vp, dy), dwp_ref[t], bf16)
+                acc = acc + _mm(_shift_rows(vn, dy), dwn_ref[t], bf16)
             return acc
 
         def sm(v, si):
@@ -279,7 +299,8 @@ def fused_mixer_apply(x: Array, consts: dict, *,
 
     args = (consts["tf_bd"], consts["ones_bd"], consts["ln_rows"],
             consts["bd_a"], consts["bd_b"], consts["bd_c"],
-            consts["b1_rows"], consts["mlp_rows"], consts["taps"],
+            consts["b1_rows"], consts["mlp_rows"], consts["dw_a0"],
+            consts["dw_ap"], consts["dw_an"],
             consts["sp_bias"], consts["ex_bds"], consts["ex_bias"],
             consts["pr_bds"], consts["pr_bias"], consts["up_bd"],
             consts["up_bias"], xf)
@@ -287,7 +308,7 @@ def fused_mixer_apply(x: Array, consts: dict, *,
     out = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 18
         + [pl.BlockSpec((1, h, l_in), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, h, l_out), lambda i: (i, 0, 0),
