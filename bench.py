@@ -87,14 +87,26 @@ def main() -> None:
         from esmstereo_tpu.nn.blocks import set_gelu_approximate
         set_gelu_approximate(True)
 
-    # fast-path kill switches for A/B attribution (all default-on paths)
+    # Fast-path A/B switches. Defaults MUST mirror the shipped
+    # ESMStereoConfig defaults (round-2 lesson: BENCH_FUSE_MIXER
+    # defaulting "1" while the model ships fuse_mixer=False re-enabled a
+    # kernel whose Mosaic compile exceeds the driver's bench timeout).
+    defaults = ESMStereoConfig()
+    def _sw(name: str, shipped: bool) -> bool:
+        return os.environ.get(name, "1" if shipped else "0") == "1"
     cfg = ESMStereoConfig(
         cv_scale=4, backbone="efficientnet_b2", cost_volume="gwc",
-        fuse_mixer=os.environ.get("BENCH_FUSE_MIXER", "1") == "1",
-        fuse_agg_stem=os.environ.get("BENCH_FUSE_AGG_STEM", "1") == "1",
-        fuse_backbone_head=os.environ.get("BENCH_FUSE_HEAD", "1") == "1",
+        fuse_mixer=_sw("BENCH_FUSE_MIXER", defaults.fuse_mixer),
+        fuse_agg_stem=_sw("BENCH_FUSE_AGG_STEM", defaults.fuse_agg_stem),
+        fuse_backbone_head=_sw("BENCH_FUSE_HEAD",
+                               defaults.fuse_backbone_head),
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
     model = ESMStereo(config=cfg)
+    import sys
+    print(f"# fast paths: fuse_mixer={cfg.fuse_mixer} "
+          f"fuse_agg_stem={cfg.fuse_agg_stem} "
+          f"fuse_backbone_head={cfg.fuse_backbone_head} "
+          f"dtype={DTYPE} fast_gelu={FAST_GELU}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     left = jax.device_put(

@@ -132,7 +132,7 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
         # prefetched one step ahead by _device_batches. Console/TB
         # logging therefore lags execution by one step.
         def flush(pending):
-            bi, gstep, metrics, host_batch, t0 = pending
+            bi, gstep, metrics, host_batch, t0, disp_est = pending
             metrics = {k: float(v) for k, v in metrics.items()}
             loss_m.update(metrics["loss"])
             epe_m.update(metrics["EPE"])
@@ -142,10 +142,10 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
                              {"loss": metrics["loss"],
                               "EPE": [metrics["EPE"]],
                               "D1": [metrics["D1"]]}, gstep)
-            if (logger is not None and cfg.image_freq
-                    and gstep % cfg.image_freq == 0):
-                tb = _to_device(_eval_batch_view(host_batch), mesh)
-                _, disp_est = eval_step(state, tb)
+            if disp_est is not None:
+                # Dispatched at step `gstep` with that step's just-updated
+                # params (the one-step-late flush can't eval here: step
+                # gstep's state buffers were donated to step gstep+1).
                 est = np.asarray(disp_est[0])          # (H, W)
                 gt = np.asarray(host_batch["disparity"][0])
                 save_images(logger, "train", {
@@ -168,9 +168,15 @@ def run_training(model, cfg: TrainLoopConfig, train_loader, test_loader,
             gstep = steps_per_epoch * epoch + bi
             t0 = time.time()
             state, metrics = train_step(state, dev_batch)
+            disp_est = None
+            if (logger is not None and cfg.image_freq
+                    and gstep % cfg.image_freq == 0):
+                # async dispatch now, D2H read-back in the late flush
+                tb = _to_device(_eval_batch_view(host_batch), mesh)
+                _, disp_est = eval_step(state, tb)
             if pending is not None:
                 flush(pending)
-            pending = (bi, gstep, metrics, host_batch, t0)
+            pending = (bi, gstep, metrics, host_batch, t0, disp_est)
         if pending is not None:
             flush(pending)
 
