@@ -159,14 +159,16 @@ class FusedHeadPyramid(nn.Module):
             params[name], stats[name] = scope
             cin = bcfg.out_chs
 
+        from esmstereo_tpu.ops import pallas as _plmod
         run_kernel = (not self.is_initializing() and not train
-                      and jax.default_backend() != "cpu"
+                      and _plmod.accel_ok()
                       and x.shape[1] % 16 == 0 and x.shape[2] % 32 == 0)
         xf = x.astype(jnp.float32)
         if run_kernel:
             consts = _fh.prepare_consts(params, stats, act=acfg.act,
                                         width=x.shape[2] // 2)
-            y = _fh.fused_stage0_apply(xf, consts)
+            y = _fh.fused_stage0_apply(xf, consts,
+                                       interpret=_plmod.force_interpret())
         else:
             y = _reference_head(xf, params, stats, acfg)
         dtype = self.dtype or x.dtype

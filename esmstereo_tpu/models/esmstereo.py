@@ -494,8 +494,9 @@ class ESMStereo(nn.Module):
                 p4, s4st = StemBlockParams(stem_chs[1], stem_chs[0],
                                            name="stem_4")()
                 bf = jnp.asarray(both, jnp.float32)
+                from esmstereo_tpu.ops import pallas as _plmod
                 if (self.is_initializing()
-                        or jax.default_backend() == "cpu"):
+                        or not _plmod.accel_ok()):
                     s2x = reference_stem_eval(bf, p2, s2st)
                     s4x = reference_stem_eval(s2x, p4, s4st)
                 else:
@@ -504,7 +505,8 @@ class ESMStereo(nn.Module):
                         {"stem_2": s2st, "stem_4": s4st},
                         w_img=both.shape[2], f2=stem_chs[0],
                         f4=stem_chs[1])
-                    s2x, s4x = _fst.fused_stems_apply(bf, consts)
+                    s2x, s4x = _fst.fused_stems_apply(
+                        bf, consts, interpret=_plmod.force_interpret())
                 out_dt = dtype or both.dtype
                 x = s4x.astype(out_dt)
                 for s in (s2x.astype(out_dt), x):
@@ -571,8 +573,9 @@ class ESMStereo(nn.Module):
             # 544x960 L, ~3.9 ms); the Pallas kernel builds the folded
             # volume in one pass (~0.33 ms). CPU (tests, fake meshes) and
             # train mode (no AD rule for pallas_call) keep the jnp path.
+            from esmstereo_tpu.ops import pallas as _plmod
             use_pk = (cfg.pallas_volume and not train
-                      and jax.default_backend() != "cpu")
+                      and _plmod.accel_ok())
             # Fused stem+agg kernel: XLA's lowering of these two banded
             # convs re-reads operands per K-tile at their ~5-14k-wide
             # contractions (2.4 + 0.4 ms at 544x960 L bf16 vs a ~0.5 ms
@@ -581,12 +584,13 @@ class ESMStereo(nn.Module):
             # sits between them) and off the CPU/train/sharded paths.
             use_fas = (cfg.fuse_agg_stem and not train
                        and not self.is_initializing()
-                       and jax.default_backend() != "cpu")
+                       and _plmod.accel_ok())
             if cfg.cost_volume == "norm_correlation":
                 if use_pk:
                     from esmstereo_tpu.ops.pallas import correlation as _pk
                     volume = _pk.correlation_volume_folded(
-                        match_l, match_r, num_bins, 1, normalize=True)
+                        match_l, match_r, num_bins, 1, normalize=True,
+                        interpret=_plmod.force_interpret())
                 else:
                     volume = ops.build_norm_correlation_volume_folded(
                         match_l, match_r, num_bins)
@@ -596,7 +600,8 @@ class ESMStereo(nn.Module):
                 if use_pk:
                     from esmstereo_tpu.ops.pallas import correlation as _pk
                     volume = _pk.correlation_volume_folded(
-                        match_l, match_r, num_bins, cfg.num_groups)
+                        match_l, match_r, num_bins, cfg.num_groups,
+                        interpret=_plmod.force_interpret())
                 else:
                     volume = ops.build_gwc_volume_folded(
                         match_l, match_r, num_bins, cfg.num_groups)
@@ -616,7 +621,8 @@ class ESMStereo(nn.Module):
                     p2["conv"]["Conv_0"]["kernel"], (p2["bn"], s2["bn"]),
                     depth=num_bins, gelu_approximate=GELU_APPROXIMATE)
                 volume = _fas.folded_stem_agg_apply(
-                    volume.astype(dtype or volume.dtype), consts)
+                    volume.astype(dtype or volume.dtype), consts,
+                    interpret=_plmod.force_interpret())
             else:
                 volume = FoldedConvBlock3D(red, stem_ci, num_bins, 3, 1, 1,
                                            dtype=dtype, name=stem_name)(
@@ -715,11 +721,13 @@ class ESMStereo(nn.Module):
     def _corr_volume(self, match_l: Array, match_r: Array, num_bins: int,
                      groups: int) -> Array:
         cfg = self.config
-        if cfg.use_pallas and jax.default_backend() not in ("cpu",):
+        from esmstereo_tpu.ops import pallas as _plmod
+        if cfg.use_pallas and _plmod.accel_ok():
             from esmstereo_tpu.ops.pallas import correlation as pk
             return pk.correlation_volume(
                 match_l, match_r, num_bins, groups,
-                normalize=cfg.cost_volume == "norm_correlation")
+                normalize=cfg.cost_volume == "norm_correlation",
+                interpret=_plmod.force_interpret())
         if cfg.cost_volume == "norm_correlation":
             return ops.build_norm_correlation_volume(match_l, match_r, num_bins)
         return ops.build_gwc_volume(match_l, match_r, num_bins, groups)

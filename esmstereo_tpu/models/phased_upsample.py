@@ -484,13 +484,15 @@ class PhUpStage2x(nn.Module):
             "block1": _FMParams(16, name="block1")(),
             "up": _UpParams(16, name="up")(),
         }
+        from esmstereo_tpu.ops import pallas as _plmod
         run_kernel = (self.fuse_mixer and not train
                       and not self.is_initializing()
-                      and jax.default_backend() != "cpu"
+                      and _plmod.accel_ok()
                       and (x.shape[2] * 16) % 128 == 0)
         if run_kernel:
             consts = _fm.prepare_consts(mix_params, width=x.shape[2])
-            x = _fm.fused_mixer_apply(x, consts)
+            x = _fm.fused_mixer_apply(x, consts,
+                                      interpret=_plmod.force_interpret())
             x = x.astype(dt or x.dtype)
         else:
             x = _fm.mixer_reference(x, mix_params, dtype=dt)

@@ -124,10 +124,11 @@ def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
-                                             "normalize"))
+                                             "normalize", "interpret"))
 def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
                               num_groups: int,
-                              normalize: bool = False) -> Array:
+                              normalize: bool = False,
+                              interpret: bool = False) -> Array:
     """Depth-folded cost volume ``(B, H, W, D*G)`` via one Pallas pass.
 
     Counterpart of ``ops.build_gwc_volume_folded`` /
@@ -220,13 +221,15 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
             bytes_accessed=bytes_acc * b * (h // th),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ref, tgt_pad, gmat)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",
-                                             "normalize"))
+                                             "normalize", "interpret"))
 def correlation_volume(ref: Array, tgt: Array, max_disp: int,
-                       num_groups: int, normalize: bool = False) -> Array:
+                       num_groups: int, normalize: bool = False,
+                       interpret: bool = False) -> Array:
     """Cost volume ``(B, D, H, W, G)`` via the fused Pallas kernel.
 
     ``num_groups=1`` + ``normalize=True``  == build_norm_correlation_volume
@@ -293,4 +296,5 @@ def correlation_volume(ref: Array, tgt: Array, max_disp: int,
             bytes_accessed=bytes_acc * b * (h // th),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ref, tgt_pad, gmat)

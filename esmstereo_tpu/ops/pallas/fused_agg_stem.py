@@ -99,8 +99,11 @@ def prepare_consts(k1: Array, bn1: tuple, k2: Array, bn2: tuple, *,
     return consts
 
 
-def _gelu(x: Array, approximate: bool) -> Array:
-    return jax.nn.gelu(x, approximate=approximate)
+def _gelu(x: Array, approximate: bool, interpret: bool) -> Array:
+    # Mosaic has no erf lowering; exact mode compiles via the A&S
+    # rational erf (see ops.pallas.activations).
+    from esmstereo_tpu.ops.pallas.activations import gelu
+    return gelu(x, approximate=approximate, interpret=interpret)
 
 
 def folded_stem_agg_apply(vol: Array, consts: dict, *,
@@ -185,7 +188,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
                 sv = s_ref[...][:, o0 * co:o0 * co + nb]
                 tv = t_ref[...][:, o0 * co:o0 * co + nb]
                 yb = acc * sv[None] + tv[None]
-                outs.append(_gelu(yb, approx))
+                outs.append(_gelu(yb, approx, interpret))
             return jnp.concatenate(outs, axis=-1)
 
         x = win[...].astype(jnp.float32)

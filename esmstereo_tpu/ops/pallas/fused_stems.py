@@ -61,23 +61,12 @@ Array = jax.Array
 def _gelu(x: Array, interpret: bool) -> Array:
     """GELU honoring the global numerics switch (nn.blocks.set_gelu_approximate),
     so a fast-GELU deployment graph stays consistent across the fused and
-    plain sections. Exact mode: Mosaic has no erf/erfc lowering, so the
-    compiled path uses the Abramowitz-Stegun 7.1.26 rational erf (1.5e-7
-    abs error — an order below the bf16 conv rounding already present on
-    the TPU path; the plain XLA path's erf is itself a rational approx)."""
+    plain sections. Exact mode compiles via the A&S rational erf — see
+    ops.pallas.activations."""
     from esmstereo_tpu.nn import blocks as _blocks
-    if _blocks.GELU_APPROXIMATE:
-        return jax.nn.gelu(x, approximate=True)
-    if interpret:
-        return jax.nn.gelu(x, approximate=False)
-    z = x * np.float32(2 ** -0.5)
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * az)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf_abs = 1.0 - poly * jnp.exp(-az * az)
-    erf = jnp.sign(z) * erf_abs
-    return 0.5 * x * (1.0 + erf)
+    from esmstereo_tpu.ops.pallas.activations import gelu
+    return gelu(x, approximate=_blocks.GELU_APPROXIMATE,
+                interpret=interpret)
 
 
 def _mm(lhs: Array, rhs: Array, bf16: bool) -> Array:
