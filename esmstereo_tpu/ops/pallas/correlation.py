@@ -66,7 +66,7 @@ def _corr_kernel(ref_ref, tgt_ref, gmat_ref, out_ref, *, max_disp: int,
 
 
 def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
-                        max_disp: int, td: int, pack: int):
+                        max_disp: int, td: int, pack: int, ws: int):
     """Grid cell = (batch, row-block, disparity-block): emits one folded
     channel-block of ``td * G`` lanes (d-major, matching ``nn.folded3d``).
 
@@ -93,17 +93,21 @@ def _corr_kernel_folded(ref_ref, tgt_ref, gmat_ref, out_ref, *,
     ref_tile = jnp.concatenate([refs2d] * pack, axis=-1)  # (TH*W, pack*C)
     # window start must be a sublane multiple: td is either a multiple of 8
     # (with max_disp % 8 == 0) or equals max_disp (start == 0). See caller.
+    # The window SIZE ws is w + td rounded up to a sublane multiple (the
+    # caller pads the target so the slice stays in bounds).
     wstart = max_disp - (di + 1) * td
-    window = tgt_ref[0, :, pl.ds(wstart, w + td), :]   # (TH, W+td, C)
+    window = tgt_ref[0, :, pl.ds(wstart, ws), :]   # (TH, ws, C)
     blocks = []
     for j in range(td // pack):
         shifts = []
         for i in range(j * pack, (j + 1) * pack):
             # d = di * td + i lives at window column offset td - i; roll is
             # circular and requires a non-negative shift, so the left-roll
-            # by (td - i) is a right-roll by w + i. Positions [0, w) then
-            # hold window[col + td - i] with no wrap-around contamination.
-            shifted = pltpu.roll(window, shift=w + i, axis=1)[:, :w, :]
+            # by (td - i) is a right-roll by ws - td + i. Positions [0, w)
+            # then hold window[col + td - i] with no wrap-around
+            # contamination (col + td - i <= w + td - 1 < ws).
+            shifted = pltpu.roll(window, shift=ws - td + i,
+                                 axis=1)[:, :w, :]
             shifts.append(shifted.reshape(th * w, c))
         prod = ref_tile * jnp.concatenate(shifts, axis=-1)
         # d-major within the pack: plane i occupies lanes [i*G, (i+1)*G)
@@ -159,10 +163,6 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
             return (xg / (n + _EPS)).reshape(b, h, w, c)
         ref, tgt = l2n(ref), l2n(tgt)
 
-    # Pad by a full max_disp (not max_disp - 1) so the per-block window
-    # start ``max_disp - (di+1)*td`` is sublane-aligned (see kernel).
-    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 0), (max_disp, 0), (0, 0)))
-
     itemsize = out_dtype.itemsize
     budget = 4 * 1024 * 1024
     th = _pick_block(h, 4)
@@ -186,6 +186,22 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
     pack = max(p for p in range(1, td + 1)
                if td % p == 0 and p * num_groups <= 128 and p * c <= 512)
 
+    # Mosaic requires 8-aligned sublane (width) slice shapes; non-aligned
+    # widths (e.g. 544x960 cv16 -> w=60) are zero-padded to w8 and sliced
+    # back — exact: right-pad columns never feed cols < w, and padded ref
+    # cols only produce discarded output. The in-kernel window is likewise
+    # widened to an aligned ws, with the target padded so the maximal
+    # slice (wstart = max_disp - td) stays in bounds.
+    w_true = w
+    w = -(-w // 8) * 8
+    ws = -(-(w + td) // 8) * 8
+    if w != w_true:
+        ref = jnp.pad(ref, ((0, 0), (0, 0), (0, w - w_true), (0, 0)))
+    # left pad: a full max_disp (not max_disp - 1) keeps every window
+    # start sublane-aligned; right pad covers the widened window.
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 0),
+                            (max_disp, (ws - td) - w_true), (0, 0)))
+
     gmat = np.zeros((pack * c, pack * num_groups), np.float32)
     for i in range(pack):
         for ch in range(c):
@@ -195,13 +211,13 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
     out_shape = jax.ShapeDtypeStruct((b, h, w, max_disp * num_groups),
                                      out_dtype)
     grid = (b, h // th, max_disp // td)
-    wp = w + max_disp
+    wp = max_disp + (ws - td)
     bytes_acc = (th * w * c + th * wp * c) * itemsize * (max_disp // td) \
         + max_disp * th * w * num_groups * itemsize
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_corr_kernel_folded, max_disp=max_disp, td=td,
-                          pack=pack),
+                          pack=pack, ws=ws),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda bi, hi, di: (bi, hi, 0, 0),
@@ -223,6 +239,9 @@ def correlation_volume_folded(ref: Array, tgt: Array, max_disp: int,
         ),
         interpret=interpret,
     )(ref, tgt_pad, gmat)
+    if w != w_true:
+        out = out[:, :, :w_true]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "num_groups",

@@ -119,6 +119,16 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
     out_dtype = vol.dtype
     mm_dt = jnp.float32 if interpret else jnp.bfloat16
 
+    # Mosaic requires 8-aligned sublane (width) shapes; non-aligned grids
+    # (544x960 cv16 -> w=60) are zero-padded and sliced back. Exact: the
+    # padded input columns are zeros (= conv1's own zero padding for
+    # cols < w), and conv1's outputs at cols >= w_true (BN offset, not 0)
+    # are masked before conv2 exactly like the row halo below.
+    w_true = w
+    w = -(-w // 8) * 8
+    if w != w_true:
+        vol = jnp.pad(vol, ((0, 0), (0, 0), (0, w - w_true), (0, 0)))
+
     # row-block size: divisor of h with the volume window under ~16 MB
     itemsize = jnp.dtype(vol.dtype).itemsize
     budget = 16 * 1024 * 1024
@@ -200,6 +210,9 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         ri = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
         rg = r0 - 1 + ri
         y1 = jnp.where((rg >= 0) & (rg < h), y1, 0.0)
+        if w != w_true:
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+            y1 = jnp.where(cg < w_true, y1, 0.0)
         y2 = conv(y1, th, w1_refs, consts["blocks1"], ci1, co1,
                   s1_ref, t1_ref)
         out_ref[0] = y2.astype(out_dtype)
@@ -213,7 +226,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
             vol_p)
 
     n_const = n_w0 + n_w1 + 4
-    out = pl.pallas_call(
+    run = pl.pallas_call(
         kernel,
         grid=(b, h // th),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const
@@ -230,5 +243,8 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
             vmem_limit_bytes=110 * 1024 * 1024,
             has_side_effects=False),
         interpret=interpret,
-    )(*args)
+    )
+    out = run(*args)
+    if w != w_true:
+        out = out[:, :, :w_true]
     return out

@@ -24,7 +24,10 @@ class _Pair(nn.Module):
 
 
 @pytest.mark.parametrize("ci,depth,h,w", [(32, 16, 8, 16), (8, 16, 12, 8),
-                                          (32, 24, 9, 8)])
+                                          (32, 24, 9, 8),
+                                          # unaligned width (cv16 grids,
+                                          # e.g. 544x960 -> w=60)
+                                          (32, 12, 8, 13)])
 def test_kernel_matches_folded_pair(rng, ci, depth, h, w):
     vol = jnp.asarray(rng.standard_normal((1, h, w, depth * ci)),
                       jnp.float32)

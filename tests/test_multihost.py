@@ -80,6 +80,89 @@ print("RESULT " + json.dumps({{"pid": pid, "epe": val}}), flush=True)
 """
 
 
+TRAIN_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import PartitionSpec as P
+
+from esmstereo_tpu.data.synthetic import make_batch
+from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+from esmstereo_tpu.parallel import distributed as dist
+from esmstereo_tpu.parallel import mesh as pmesh
+from esmstereo_tpu.train import checkpoints as ckpt
+from esmstereo_tpu.train.state import create_train_state, make_optimizer
+from esmstereo_tpu.train.step import make_train_step
+
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+logdir = sys.argv[3]
+info = dist.initialize(coord, 2, pid)
+assert info["global_devices"] == 4, info
+
+mesh = pmesh.make_mesh(pmesh.MeshConfig(data=4, spatial=1))
+cfg = ESMStereoConfig(cv_scale=16, backbone="mobilenetv2_100",
+                      cost_volume="norm_correlation", use_pallas=False)
+model = ESMStereo(config=cfg)
+
+# identical global batch constructed on both hosts (seed-keyed), each host
+# feeding only its contiguous device-order slice
+gbatch = make_batch(np.random.default_rng(0), batch=4, h=64, w=64,
+                    disp_range=(2, 8))
+lo = 2 * info["process_index"]
+bsh = pmesh.batch_sharding(mesh)
+
+def to_global(x):
+    if isinstance(x, list):
+        return [to_global(e) for e in x]
+    return jax.make_array_from_process_local_data(bsh, x[lo:lo + 2])
+
+sharded = {{k: to_global(v) for k, v in gbatch.items()}}
+
+# same seed + same (host-local full) init batch -> identical init on both
+# hosts; promote to a replicated global state
+state = create_train_state(model, jax.random.key(0), gbatch,
+                           make_optimizer("adamw", 1e-3))
+state = multihost_utils.host_local_array_to_global_array(state, mesh, P())
+
+train_step = jax.jit(make_train_step(model))
+state, metrics = train_step(state, sharded)
+
+checksum = float(jax.jit(
+    lambda p: sum(jnp.sum(jnp.abs(l))
+                  for l in jax.tree_util.tree_leaves(p)))(state.params))
+dist.assert_same_across_hosts(np.float32(checksum), "post-step params")
+
+# multi-host checkpoint round trip through the shared logdir
+path = ckpt.save_checkpoint(logdir, state, epoch=0)
+fresh = create_train_state(model, jax.random.key(1), gbatch,
+                           make_optimizer("adamw", 1e-3))
+fresh = multihost_utils.host_local_array_to_global_array(fresh, mesh, P())
+restored, next_epoch = ckpt.restore_checkpoint(path, fresh)
+ok = bool(all(
+    np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params))))
+ok = ok and int(restored.step) == int(state.step)
+
+print("RESULT " + json.dumps({{
+    "pid": pid,
+    "loss": float(metrics["loss"]),
+    "EPE": float(metrics["EPE"]),
+    "checksum": checksum,
+    "restore_ok": ok,
+    "next_epoch": next_epoch,
+}}), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -139,3 +222,84 @@ def test_two_process_distributed_metric(tmp_path):
     per_img = [np.abs(e - g)[m].mean() for e, g, m in zip(est, gt, mask)]
     expected = float(np.mean(per_img))
     assert results[0] == pytest.approx(expected, rel=1e-5)
+
+
+def test_two_process_train_step_and_checkpoint(tmp_path):
+    """SURVEY §2.3 first-class multi-host training: a 2-process sharded
+    train step (model init, globally-sharded batch via
+    make_array_from_process_local_data, gradient all-reduce under jit) with
+    post-step params identical across hosts AND equal to the same step run
+    single-process on an equivalent 4-device mesh, plus a multi-host
+    orbax checkpoint save/restore round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER.format(repo=REPO))
+    logdir = str(tmp_path / "ckpts")
+    os.makedirs(logdir, exist_ok=True)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), coord, logdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out, err)
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, outs
+    for pid in (0, 1):
+        assert results[pid]["restore_ok"], results[pid]
+        assert results[pid]["next_epoch"] == 1
+    assert results[0]["checksum"] == pytest.approx(
+        results[1]["checksum"], rel=1e-6)
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # single-process ground truth: same model, same global batch, same
+    # init seed, one train step over an equivalent 4-device (data) mesh
+    from esmstereo_tpu.data.synthetic import make_batch
+    from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+    from esmstereo_tpu.parallel import mesh as pmesh
+    from esmstereo_tpu.train.state import create_train_state, make_optimizer
+    from esmstereo_tpu.train.step import make_train_step
+
+    mesh = pmesh.make_mesh(pmesh.MeshConfig(data=4, spatial=1),
+                           devices=jax.devices()[:4])
+    cfg = ESMStereoConfig(cv_scale=16, backbone="mobilenetv2_100",
+                          cost_volume="norm_correlation", use_pallas=False)
+    model = ESMStereo(config=cfg)
+    gbatch = make_batch(np.random.default_rng(0), batch=4, h=64, w=64,
+                        disp_range=(2, 8))
+    gbatch = {k: (jnp.asarray(v) if not isinstance(v, list)
+                  else [jnp.asarray(x) for x in v])
+              for k, v in gbatch.items()}
+    state = create_train_state(model, jax.random.key(0), gbatch,
+                               make_optimizer("adamw", 1e-3))
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    sharded = pmesh.shard_batch(mesh, gbatch)
+    state, metrics = jax.jit(make_train_step(model))(state, sharded)
+    checksum = float(jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(l))
+                      for l in jax.tree_util.tree_leaves(p)))(state.params))
+    assert results[0]["checksum"] == pytest.approx(checksum, rel=1e-5)
+    assert results[0]["loss"] == pytest.approx(float(metrics["loss"]),
+                                               rel=1e-4)

@@ -78,3 +78,17 @@ def test_folded_norm_correlation_matches_jnp(feats):
     want = ops.build_norm_correlation_volume_folded(ref, tgt, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_folded_unaligned_width_matches_jnp(rng):
+    """Widths that are not sublane (8) multiples — e.g. 544x960 cv16 gives
+    a 60-wide grid — are zero-padded inside the kernel and sliced back."""
+    for w in (60, 30):
+        ref = jnp.asarray(rng.standard_normal((1, 8, w, 16)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((1, 8, w, 16)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = pk.correlation_volume_folded(ref, tgt, 12, 4)
+        want = ops.build_gwc_volume_folded(ref, tgt, 12, 4)
+        assert got.shape == want.shape == (1, 8, w, 48)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

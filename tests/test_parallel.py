@@ -30,33 +30,63 @@ def test_auto_mesh_sizing():
 
 
 def test_sharded_forward_matches_single_device(rng):
+    """Uniform-tolerance sharding transparency.
+
+    Inputs are true shifted texture pairs (make_batch), not white noise:
+    identical patches correlate sharply even under random init, so the
+    cost surfaces are non-flat and the cv4 top-2 bin selection is stable
+    — which is what lets the uniform allclose bound hold (white noise
+    gave near-flat surfaces whose bin flips under fp32 reassociation
+    forced an 8 px tail allowance here). The pre-regression cost volume
+    is additionally compared tightly, so a genuine sharding-parity
+    regression cannot hide behind regression-boundary discontinuity."""
     model = _model()
-    left = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
-    right = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    b = make_batch(np.random.default_rng(3), batch=2, h=64, w=64,
+                   disp_range=(4, 10))
+    left = jnp.asarray(b["left"])
+    right = jnp.asarray(b["right"])
     variables = model.init(jax.random.key(0), left, right, train=False)
 
-    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False)[0])
-    want = np.asarray(fwd(variables, left, right))
+    fwd = jax.jit(lambda v, l, r: model.apply(
+        v, l, r, train=False, capture_internals=True))
+    want, aux_want = fwd(variables, left, right)
+    want = np.asarray(want[0])
 
     mesh = pmesh.make_mesh(pmesh.MeshConfig(data=2, spatial=4))
     bs = pmesh.batch_sharding(mesh)
     left_s = jax.device_put(left, bs)
     right_s = jax.device_put(right, bs)
     vars_s = jax.device_put(variables, pmesh.replicated(mesh))
-    got = np.asarray(fwd(vars_s, left_s, right_s))
+    got, aux_got = fwd(vars_s, left_s, right_s)
+    got = np.asarray(got[0])
 
-    # Partitioned convs reassociate fp32 sums; on random-init near-flat
-    # cost surfaces the cv4 top-2 bin selection is discontinuous, so a
-    # small fraction of pixels flips bins (the same artifact the torch
-    # parity and bf16 tests bound), and the refinement convs smear each
-    # flip over a small neighbourhood. Require tight agreement for the
-    # bulk and bound the flip-affected tail (measured: q95 ~ 3e-4,
-    # 2.2% of pixels > 0.1, max ~ 1.1 px).
+    np.testing.assert_allclose(np.asarray(aux_got["cost"]),
+                               np.asarray(aux_want["cost"]),
+                               rtol=2e-4, atol=2e-3)
+
+    # The only sanctioned deviation downstream of a matching cost volume
+    # is the top-2 regression's discontinuity: near-tied bins flip under
+    # fp32 reassociation, and the upsampler smears each flip locally.
+    # Bound it structurally: every full-res mismatch must sit within a
+    # small neighbourhood of an init_pred (regression output) flip, the
+    # flip population must be tiny, and the bulk must agree tightly.
     diff = np.abs(got - want)
+    init_a = np.asarray(aux_got["init_pred"]).squeeze(-1)
+    init_b = np.asarray(aux_want["init_pred"]).squeeze(-1)
+    flips_q = np.abs(init_a - init_b) > 0.05        # (B, H/4, W/4)
+    assert flips_q.mean() < 0.02, flips_q.mean()
     assert np.quantile(diff, 0.95) < 2e-3, np.quantile(diff, 0.95)
-    assert diff.mean() < 0.05, diff.mean()
-    assert (diff > 0.1).mean() < 0.05, (diff > 0.1).mean()
-    assert diff.max() < 8.0, diff.max()
+    assert diff.max() < 2.0, diff.max()
+    # dilate the quarter-res flip mask by r=3 and upsample x4
+    dil = flips_q.copy()
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            sh = np.roll(np.roll(flips_q, dy, axis=1), dx, axis=2)
+            dil |= sh
+    dil_full = np.repeat(np.repeat(dil, 4, axis=1), 4, axis=2)
+    mism = diff > 0.1
+    assert not (mism & ~dil_full).any(), (
+        "full-res mismatch not attributable to a regression bin flip")
 
 
 def test_spatial_safe_config_disables_kernels():
