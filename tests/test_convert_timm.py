@@ -111,3 +111,56 @@ def test_converted_forward_matches_manual_conv(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), want.numpy(),
         rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["mobilenetv2_100", "efficientnet_b2"])
+def test_stub_and_converter_manifests_agree(arch):
+    """Cross-assert the two timm encodings against each other.
+
+    Backbone parity (PARITY.md P1) is proven against tests/timm_stub, not
+    real timm checkpoints (no timm, zero egress). The stub's architecture
+    tables and the Flax side's (backbones/efficientnet.py) could then
+    drift — or both encode timm wrong — silently. This pins the one thing
+    checkable offline: the stub's ACTUAL state_dict (keys + shapes) must
+    be (a) fully consumed by convert_timm (minus the documented skips:
+    stage >= 6, num_batches_tracked) and (b) exactly cover every Flax
+    backbone leaf, params and batch_stats both ways."""
+    import tests.timm_stub as timm_stub
+
+    from esmstereo_tpu.backbones.convert_timm import (
+        convert_backbone_state_dict)
+
+    torch_model = timm_stub.create_model(arch)
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+
+    consumed_params, consumed_stats = convert_backbone_state_dict(sd)
+
+    def flat(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, (*prefix, k)))
+            else:
+                out["/".join((*prefix, k))] = tuple(v.shape)
+        return out
+
+    converted = {**flat(consumed_params), **{"stats/" + k: v
+                                             for k, v in
+                                             flat(consumed_stats).items()}}
+    # (a) every stub tensor is consumed or documented-skipped
+    n_expected = sum(
+        1 for k in sd
+        if "num_batches_tracked" not in k
+        and not (k.startswith("blocks.") and int(k.split(".")[1]) >= 6))
+    assert len(converted) == n_expected, (len(converted), n_expected)
+
+    # (b) the converted tree covers the Flax backbone tree exactly
+    m = FeaturePyramid(arch=arch)
+    variables = jax.device_get(m.init(jax.random.key(0),
+                                      jnp.zeros((1, 32, 32, 3))))
+    model_params = flat(jax.tree_util.tree_map(np.asarray,
+                                               variables["params"]))
+    model_stats = flat(jax.tree_util.tree_map(np.asarray,
+                                              variables["batch_stats"]))
+    assert flat(consumed_params) == model_params
+    assert flat(consumed_stats) == model_stats
