@@ -42,7 +42,8 @@ def _collate(samples: list[dict]) -> dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True, seed: int = 1,
-                 shard_index: int = 0, num_shards: int = 1) -> None:
+                 shard_index: int = 0, num_shards: int = 1,
+                 use_processes: bool = False) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,6 +52,12 @@ class DataLoader:
         self.seed = seed
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # Fork-based workers (the reference's torch loader semantics,
+        # train_sceneflow.py:84-85): the decode+augment path is
+        # numpy/PIL-heavy enough that thread workers serialize on the GIL
+        # (measured ~8% overlap efficiency at batch 4; BASELINE.md).
+        # Threads stay the default for tests and low-core hosts.
+        self.use_processes = use_processes
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -74,6 +81,9 @@ class DataLoader:
         nb = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
+        if self.use_processes:
+            yield from self._iter_processes(batches)
+            return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         job_q: "queue.Queue" = queue.Queue()
@@ -109,3 +119,47 @@ class DataLoader:
                 while bi not in results:
                     cond.wait()
                 yield results.pop(bi)
+
+    def _iter_processes(self, batches) -> Iterator[dict]:
+        """Fork workers: each builds whole batches and ships the collated
+        arrays back over a pipe queue. Augmentation stays deterministic —
+        the per-sample rng is keyed by (seed, epoch, index), not by worker."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        job_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=self.num_workers * 2)
+        for bi, b in enumerate(batches):
+            job_q.put((bi, np.asarray(b)))
+        for _ in range(self.num_workers):
+            job_q.put(None)
+
+        def worker():
+            while True:
+                job = job_q.get()
+                if job is None:
+                    return
+                bi, batch_idx = job
+                samples = []
+                for i in batch_idx:
+                    rng = np.random.default_rng(
+                        (self.seed, self.epoch, int(i)))
+                    samples.append(self.dataset.get(int(i), rng))
+                out_q.put((bi, _collate(samples)))
+
+        procs = [ctx.Process(target=worker, daemon=True)
+                 for _ in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            pending: dict[int, dict] = {}
+            for want in range(len(batches)):
+                while want not in pending:
+                    bi, batch = out_q.get()
+                    pending[bi] = batch
+                yield pending.pop(want)
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join()

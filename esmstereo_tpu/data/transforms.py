@@ -28,14 +28,38 @@ def _to_uint8(x: np.ndarray) -> np.ndarray:
     return np.clip(np.round(x), 0, 255).astype(np.uint8)
 
 
+# Performance note (the training loop is host-loader-bound; see
+# BASELINE.md): brightness / gamma / contrast are PER-VALUE uint8->uint8
+# maps, so each is applied as a 256-entry LUT gather — and sequential
+# application quantizes to uint8 between steps, so pre-composing LUTs is
+# BIT-exact, not an approximation. The torchvision goldens in
+# tests/test_data.py pin every formula below.
+
+
+def _lut_brightness(factor: float) -> np.ndarray:
+    """PIL ImageEnhance.Brightness: blend with black."""
+    return _to_uint8(np.arange(256, dtype=np.float64) * factor)
+
+
+def _lut_gamma(gamma: float, gain: float = 1.0) -> np.ndarray:
+    """torchvision adjust_gamma: 255 * gain * (img/255)**gamma."""
+    return _to_uint8(
+        255.0 * gain * (np.arange(256, dtype=np.float64) / 255.0) ** gamma)
+
+
+def _lut_contrast(factor: float, mean: float) -> np.ndarray:
+    return _to_uint8(
+        (np.arange(256, dtype=np.float64) - mean) * factor + mean)
+
+
 def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
     """PIL ImageEnhance.Brightness: blend with black."""
-    return _to_uint8(img.astype(np.float64) * factor)
+    return _lut_brightness(factor)[img]
 
 
 def adjust_gamma(img: np.ndarray, gamma: float, gain: float = 1.0) -> np.ndarray:
     """torchvision adjust_gamma: 255 * gain * (img/255)**gamma."""
-    return _to_uint8(255.0 * gain * (img.astype(np.float64) / 255.0) ** gamma)
+    return _lut_gamma(gamma, gain)[img]
 
 
 def _grayscale(img: np.ndarray) -> np.ndarray:
@@ -46,26 +70,38 @@ def _grayscale(img: np.ndarray) -> np.ndarray:
 def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
     """PIL ImageEnhance.Contrast: blend with the mean of the grayscale image."""
     mean = round(_grayscale(img).mean() + 0.5)  # PIL uses int(mean + 0.5)
-    return _to_uint8((img.astype(np.float64) - mean) * factor + mean)
+    return _lut_contrast(factor, mean)[img]
 
 
 def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
-    """PIL ImageEnhance.Color: blend with the grayscale image."""
-    gray = _grayscale(img).astype(np.float64)[..., None]
-    return _to_uint8((img.astype(np.float64) - gray) * factor + gray)
+    """PIL ImageEnhance.Color: blend with the grayscale image.
+
+    The blend is a function of the (value, gray) uint8 pair only, so it
+    runs as one bit-exact 256x256 LUT gather instead of a float64
+    per-pixel blend."""
+    gray = _grayscale(img)
+    v = np.arange(256, dtype=np.float64)
+    lut2 = _to_uint8((v[None, :] - v[:, None]) * factor + v[:, None])
+    return lut2[gray[..., None], img]
 
 
 def asymmetric_chromatic_aug(rng: np.random.Generator, left: np.ndarray,
                              right: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-eye independent photometric jitter (``sceneflow_dataset.py:58-89``)."""
+    """Per-eye independent photometric jitter (``sceneflow_dataset.py:58-89``).
+
+    brightness∘gamma is pre-composed into ONE LUT (bit-exact: both steps
+    quantize to uint8), then contrast (whose blend mean is computed on the
+    post-gamma image, as PIL does) composes in as a second gather; only
+    the saturation blend needs per-pixel float math.
+    """
     brightness = rng.uniform(0.5, 2.0, 2)
     gamma = rng.uniform(0.8, 1.2, 2)
     contrast = rng.uniform(0.8, 1.2, 2)
     saturation = rng.uniform(0.0, 1.4, 2)
     out = []
     for i, img in enumerate((left, right)):
-        img = adjust_brightness(img, brightness[i])
-        img = adjust_gamma(img, gamma[i])
+        lut_bg = _lut_gamma(gamma[i])[_lut_brightness(brightness[i])]
+        img = lut_bg[img]
         img = adjust_contrast(img, contrast[i])
         img = adjust_saturation(img, saturation[i])
         out.append(img)

@@ -138,8 +138,13 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
             th = cand
             break
 
-    # pad 2 halo rows each side (conv1 needs [-1, th+1), conv2 another +-1)
-    vol_p = jnp.pad(vol, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    # Halo rows (conv1 needs [-1, th+1), conv2 another +-1) come from a
+    # CLAMPED DMA landed at a shifted scratch offset, with out-of-image
+    # rows masked in-kernel — not from jnp.pad, which would materialize a
+    # second full copy of the volume in HBM (~100 MB of pure traffic at
+    # 544x960 L) just to add 4 halo rows. h is an outer dim of the rank-4
+    # volume (lanes = lc, sublanes = w), so any row offset is legal.
+    ld = min(th + 4, h)
 
     n_w0 = len(consts["w0"])
     n_w1 = len(consts["w1"])
@@ -157,8 +162,14 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         ti = pl.program_id(1)
         r0 = ti * th
 
+        # global row g lives at scratch index g - (r0 - 4); the loaded
+        # block [src, src+ld) lands at dst in {0..4}, and the fixed
+        # window x = win[2:th+6] below then holds rows [r0-2, r0+th+2)
+        # with unloaded out-of-image rows masked to the convs' zero pad.
+        src = jnp.clip(r0 - 2, 0, h - ld)
+        dst = src - r0 + 4
         cp = pltpu.make_async_copy(
-            vol_ref.at[bi, pl.ds(r0, th + 4)], win, sem)
+            vol_ref.at[bi, pl.ds(src, ld)], win.at[pl.ds(dst, ld)], sem)
         cp.start()
         cp.wait()
 
@@ -201,7 +212,9 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
                 outs.append(_gelu(yb, approx, interpret))
             return jnp.concatenate(outs, axis=-1)
 
-        x = win[...].astype(jnp.float32)
+        x = win[2:th + 6].astype(jnp.float32)
+        rg1 = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + r0 - 2
+        x = jnp.where((rg1 >= 0) & (rg1 < h), x, 0.0)
         y1 = conv(x, th + 2, w0_refs, consts["blocks0"], ci0, co0,
                   s0_ref, t0_ref)
         # conv2 zero-pads ITS input at the image boundary: y1's halo rows
@@ -223,7 +236,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
             *consts["w1"],
             jnp.concatenate(consts["s1"])[None],
             jnp.concatenate(consts["t1"])[None],
-            vol_p)
+            vol)
 
     n_const = n_w0 + n_w1 + 4
     run = pl.pallas_call(
@@ -236,7 +249,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, d * co1), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, w, lc), vol.dtype),
+            pltpu.VMEM((th + 8, w, lc), vol.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

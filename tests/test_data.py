@@ -112,6 +112,14 @@ def test_sceneflow_dataset_and_loader(tmp_path):
                     num_shards=2)
     assert len(s0) == 2 and len(s1) == 2
 
+    # fork-worker mode yields identical batches in identical order
+    procs = list(DataLoader(ds, batch_size=2, num_workers=2, seed=3,
+                            use_processes=True))
+    assert len(procs) == 2
+    for a, b in zip(batches, procs):
+        np.testing.assert_array_equal(a["left"], b["left"])
+        np.testing.assert_array_equal(a["disparity"], b["disparity"])
+
 
 def test_sceneflow_eval_crop(tmp_path):
     listfile = _write_synth_sceneflow(tmp_path, h=80, w=120)

@@ -46,7 +46,6 @@ def device_step_ms(model, batch_size: int, reps: int) -> float:
     from esmstereo_tpu.train.step import make_train_step
 
     rng = np.random.default_rng(0)
-    down = model.config.cv_scale
 
     def synth(shape):
         return jax.device_put(
@@ -57,10 +56,11 @@ def device_step_ms(model, batch_size: int, reps: int) -> float:
         "right": synth((batch_size, CROP_H, CROP_W, 3)),
         "disparity": jax.device_put(np.asarray(
             rng.uniform(1, 100, (batch_size, CROP_H, CROP_W)), np.float32)),
+        # GT pyramid layout of the datasets (data/datasets.py)
         "disparity_low": [jax.device_put(np.asarray(
-            rng.uniform(1, 100 / down,
-                        (batch_size, CROP_H // down, CROP_W // down)),
-            np.float32))],
+            rng.uniform(1, 100 / r,
+                        (batch_size, CROP_H // r, CROP_W // r)),
+            np.float32)) for r in (2, 4, 8, 16)],
     }
     state = create_train_state(
         model, jax.random.key(0), batch,
@@ -109,7 +109,7 @@ def make_tree(root: str, pairs: int) -> None:
 
 
 def pipeline_wall_ms(model, batch_size: int, steps: int, pairs: int,
-                     workers: int) -> float:
+                     workers: int, use_processes: bool) -> float:
     """Steady-state wall/step of the depth-1 dispatch pipeline over a
     real on-disk loader (decode + full reference augmentation)."""
     import numpy as np
@@ -126,7 +126,8 @@ def pipeline_wall_ms(model, batch_size: int, steps: int, pairs: int,
         make_tree(root, pairs)
         ds = SceneFlowDataset(root, os.path.join(root, "list.txt"),
                               training=True, crop=(CROP_H, CROP_W))
-        loader = DataLoader(ds, batch_size, num_workers=workers)
+        loader = DataLoader(ds, batch_size, num_workers=workers,
+                            use_processes=use_processes)
 
         state = create_train_state(
             model, jax.random.key(0),
@@ -163,6 +164,7 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--pairs", type=int, default=16)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--use_processes", type=int, default=1)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--skip_pipeline", action="store_true")
     p.add_argument("--crop_h", type=int, default=CROP_H,
@@ -198,7 +200,8 @@ def main() -> None:
 
     if not args.skip_pipeline:
         wall_ms = pipeline_wall_ms(model, args.batch, args.steps,
-                                   args.pairs, args.workers)
+                                   args.pairs, args.workers,
+                                   bool(args.use_processes))
         print(json.dumps({
             "metric": "train_step_pipeline_wall_ms",
             "value": round(wall_ms, 2),

@@ -34,6 +34,8 @@ def parse_args():
                    help="TB image dumps every N steps (0=off)")
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--worker_processes", type=int, default=1,
+                   help="1: fork-based loader workers (the reference's\n                   torch-loader semantics; thread workers serialize on the GIL)")
     p.add_argument("--max_batches", type=int, default=100,
                    help="batches per epoch cap (train_kitti.py:116-117)")
     p.add_argument("--spatial_shards", type=int, default=1)
@@ -81,6 +83,7 @@ def main():
     shard_index, num_shards = jax.process_index(), jax.process_count()
     train_loader = DataLoader(train_ds, args.batch_size,
                               num_workers=args.num_workers, drop_last=True,
+                              use_processes=bool(args.worker_processes),
                               seed=args.seed, shard_index=shard_index,
                               num_shards=num_shards)
     test_loader = DataLoader(test_ds, args.test_batch_size,
