@@ -116,17 +116,17 @@ class ESMStereoConfig:
     # CPU, cv16 norm-correlation (attention multiply sits between the
     # convs), and under spatial sharding.
     fuse_agg_stem: bool = True
-    # Execute the cv4 upsampler's to_feat + FMBlock x2 + shuffle-up as one
-    # Pallas kernel (ops.pallas.fused_mixer) on accelerator backends in
-    # eval mode: the plain lowering's 16-channel tensors run every
-    # LayerNorm/MLP/depthwise op at 12% lane utilization (~1.3 ms/frame
-    # at 544x960). Param-tree compatible; falls back for training, CPU,
-    # non-lane-aligned widths, and under spatial sharding (a pallas_call
-    # cannot be partitioned over the H grid). OFF by default: the
-    # whole-image kernel's ~400 unrolled vector ops push Mosaic compile
-    # time past 20 minutes at 544x960 through the remote-compile tunnel
-    # (numerically verified and fast once compiled; kept as opt-in until
-    # the op count is restructured — see the kernel docstring).
+    # RETIRED fast path (kept for interpret-mode parity coverage only,
+    # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
+    # shuffle-up as one Pallas kernel (ops.pallas.fused_mixer). The
+    # section's plain lowering wastes ~1.3 ms/frame at 12% lane
+    # utilization, and the kernel is numerically exact — but its Mosaic
+    # compile takes 2643 s (44 min) at 544x960 even after the roll-FMA ->
+    # banded-matmul rewrite cut the op count ~4x (measured 2026-08-21). Row-tiling cannot rescue it: the grid body compiles
+    # once, so per-op vreg count shrinks only linearly with tile rows
+    # while the +-15-row halo of the 6 chained spatial stages makes
+    # recompute waste ~(tile+30)/tile — no tile size gets compile under
+    # budget without ~2x compute. Do NOT enable on hardware.
     fuse_mixer: bool = False
     dtype: Any = None
 

@@ -29,6 +29,20 @@ layout** — rows are ``(H, W*C)`` vectors, every intermediate lives in VMEM
 
 Eval-only; exactness vs the plain modules is covered by
 tests/test_fused_mixer.py (interpret mode == plain composition).
+
+STATUS — RETIRED from the hardware dispatch path (round 3). The kernel
+is exact and its banded-matmul form cut the unrolled op count ~4x vs the
+roll-FMA original, but Mosaic compilation at 544x960 (136x3840-flat
+operands = ~500 vregs per op across ~150 ops) measured **2643 s (44
+min)** through the remote-compile tunnel (2026-08-21 probe), with the
+on-chip bf16-matmul form deviating up to 0.089 (mean 3e-3) from the
+fp32 plain path. Row-tiling the grid does not rescue it:
+the body compiles once regardless of grid size, so compile cost shrinks
+only linearly with tile rows, while the +-15-row reach of the six
+chained spatial stages (to_feat, 4x dw7, conv_expand) costs
+(tile+30)/tile recompute — every tile size is either compile-bound or
+~2x compute waste. Kept as tested groundwork with the integration hook
+(ops.pallas.set_force_interpret) exercising the full wiring on CPU.
 """
 
 from __future__ import annotations
