@@ -98,6 +98,8 @@ def main() -> None:
         cv_scale=4, backbone="efficientnet_b2", cost_volume="gwc",
         fuse_mixer=_sw("BENCH_FUSE_MIXER", defaults.fuse_mixer),
         fuse_agg_stem=_sw("BENCH_FUSE_AGG_STEM", defaults.fuse_agg_stem),
+        fuse_volume_agg=_sw("BENCH_FUSE_VOLUME_AGG",
+                            defaults.fuse_volume_agg),
         fuse_backbone_head=_sw("BENCH_FUSE_HEAD",
                                defaults.fuse_backbone_head),
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
@@ -105,6 +107,7 @@ def main() -> None:
     import sys
     print(f"# fast paths: fuse_mixer={cfg.fuse_mixer} "
           f"fuse_agg_stem={cfg.fuse_agg_stem} "
+          f"fuse_volume_agg={cfg.fuse_volume_agg} "
           f"fuse_backbone_head={cfg.fuse_backbone_head} "
           f"dtype={DTYPE} fast_gelu={FAST_GELU}", file=sys.stderr)
 

@@ -116,6 +116,17 @@ class ESMStereoConfig:
     # CPU, cv16 norm-correlation (attention multiply sits between the
     # convs), and under spatial sharding.
     fuse_agg_stem: bool = True
+    # Build the folded cost volume INSIDE the stem+agg kernel (requires
+    # fuse_agg_stem + pallas_volume; cv4/cv8), so the ~100 MB volume is
+    # never materialized in HBM. BITWISE identical to the staged pair
+    # (the in-kernel build mirrors the correlation kernel's math
+    # including its bf16 storage round trip) but OFF by default: measured
+    # 14.72 ms fused vs 13.73 ms staged at 544x960 L bf16 (interleaved
+    # A/B x3, 2026-08-21) — the in-tile volume rebuild serializes behind
+    # the convs and pays 2x product MACs for the 128-lane channel pad,
+    # losing more than the saved volume write+read (~0.25 ms). Kept as
+    # tested groundwork like fuse_stems.
+    fuse_volume_agg: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,
     # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
     # shuffle-up as one Pallas kernel (ops.pallas.fused_mixer). The
@@ -586,28 +597,39 @@ class ESMStereo(nn.Module):
                        and not self.is_initializing()
                        and _plmod.accel_ok())
             if cfg.cost_volume == "norm_correlation":
-                if use_pk:
-                    from esmstereo_tpu.ops.pallas import correlation as _pk
-                    volume = _pk.correlation_volume_folded(
-                        match_l, match_r, num_bins, 1, normalize=True,
-                        interpret=_plmod.force_interpret())
-                else:
-                    volume = ops.build_norm_correlation_volume_folded(
-                        match_l, match_r, num_bins)
                 stem_name, stem_ci = "corr_stem", 1
                 use_fas = use_fas and v != 16
             else:
-                if use_pk:
-                    from esmstereo_tpu.ops.pallas import correlation as _pk
-                    volume = _pk.correlation_volume_folded(
-                        match_l, match_r, num_bins, cfg.num_groups,
-                        interpret=_plmod.force_interpret())
-                else:
-                    volume = ops.build_gwc_volume_folded(
-                        match_l, match_r, num_bins, cfg.num_groups)
-                if v == 16:
-                    volume = _mul_att_folded(volume, att2d, num_bins)
                 stem_name, stem_ci = "group_stem", cfg.num_groups
+            # Full fusion: build the volume INSIDE the stem+agg kernel —
+            # the (H/v, W/v, D*G) volume (~100 MB bf16 at 544x960 L) is
+            # never materialized in HBM. cv16 keeps the staged path (its
+            # attention multiply sits between volume and stem).
+            fuse_vol = (cfg.fuse_volume_agg and use_fas and use_pk
+                        and v != 16)
+            if not fuse_vol:
+                if cfg.cost_volume == "norm_correlation":
+                    if use_pk:
+                        from esmstereo_tpu.ops.pallas import (
+                            correlation as _pk)
+                        volume = _pk.correlation_volume_folded(
+                            match_l, match_r, num_bins, 1, normalize=True,
+                            interpret=_plmod.force_interpret())
+                    else:
+                        volume = ops.build_norm_correlation_volume_folded(
+                            match_l, match_r, num_bins)
+                else:
+                    if use_pk:
+                        from esmstereo_tpu.ops.pallas import (
+                            correlation as _pk)
+                        volume = _pk.correlation_volume_folded(
+                            match_l, match_r, num_bins, cfg.num_groups,
+                            interpret=_plmod.force_interpret())
+                    else:
+                        volume = ops.build_gwc_volume_folded(
+                            match_l, match_r, num_bins, cfg.num_groups)
+                    if v == 16:
+                        volume = _mul_att_folded(volume, att2d, num_bins)
 
             if use_fas:
                 from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
@@ -620,9 +642,16 @@ class ESMStereo(nn.Module):
                     p1["conv"]["Conv_0"]["kernel"], (p1["bn"], s1["bn"]),
                     p2["conv"]["Conv_0"]["kernel"], (p2["bn"], s2["bn"]),
                     depth=num_bins, gelu_approximate=GELU_APPROXIMATE)
-                volume = _fas.folded_stem_agg_apply(
-                    volume.astype(dtype or volume.dtype), consts,
-                    interpret=_plmod.force_interpret())
+                if fuse_vol:
+                    volume = _fas.folded_volume_stem_agg_apply(
+                        match_l, match_r, consts, num_groups=stem_ci,
+                        normalize=cfg.cost_volume == "norm_correlation",
+                        out_dtype=dtype or match_l.dtype,
+                        interpret=_plmod.force_interpret())
+                else:
+                    volume = _fas.folded_stem_agg_apply(
+                        volume.astype(dtype or volume.dtype), consts,
+                        interpret=_plmod.force_interpret())
             else:
                 volume = FoldedConvBlock3D(red, stem_ci, num_bins, 3, 1, 1,
                                            dtype=dtype, name=stem_name)(

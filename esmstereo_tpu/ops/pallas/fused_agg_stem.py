@@ -106,6 +106,50 @@ def _gelu(x: Array, approximate: bool, interpret: bool) -> Array:
     return gelu(x, approximate=approximate, interpret=interpret)
 
 
+def _make_banded_conv(w: int, mm_dt, approx: bool, interpret: bool):
+    """Banded conv + BN + GELU on (rows+2, W, d*ci) -> (rows, W, d*co)
+    fp32, as per-depth-block matmuls (see the module docstring)."""
+
+    def conv(x, rows, w_refs, blocks, ci, co, s_ref, t_ref):
+        outs = []
+        for bix, (o0, o1, lo, hi) in enumerate(blocks):
+            acc = None
+            for kh in range(3):
+                xr = x[kh:kh + rows]
+                for kw in range(3):
+                    dx = kw - 1
+                    if dx < 0:
+                        xs = jnp.concatenate(
+                            [jnp.zeros_like(xr[:, :1]), xr[:, :-1]],
+                            axis=1)
+                    elif dx > 0:
+                        xs = jnp.concatenate(
+                            [xr[:, 1:], jnp.zeros_like(xr[:, :1])],
+                            axis=1)
+                    else:
+                        xs = xr
+                    sl = xs[..., lo * ci:hi * ci]
+                    lhs = sl.reshape(rows * w, (hi - lo) * ci)
+                    y = jax.lax.dot_general(
+                        lhs.astype(mm_dt),
+                        w_refs[bix][kh * 3 + kw].astype(mm_dt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y
+            nb = (o1 - o0) * co
+            acc = acc.reshape(rows, w, nb)
+            # scale/bias rows are (1, d*co); slice then expand — a
+            # combined [None, None, slice] index on a 1-D value
+            # lowers to an unsupported >2D gather in Mosaic
+            sv = s_ref[...][:, o0 * co:o0 * co + nb]
+            tv = t_ref[...][:, o0 * co:o0 * co + nb]
+            yb = acc * sv[None] + tv[None]
+            outs.append(_gelu(yb, approx, interpret))
+        return jnp.concatenate(outs, axis=-1)
+
+    return conv
+
+
 def folded_stem_agg_apply(vol: Array, consts: dict, *,
                           interpret: bool = False) -> Array:
     """Apply group_stem + agg to the folded volume ``(B, H, W, D*ci)``;
@@ -173,44 +217,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         cp.start()
         cp.wait()
 
-        def conv(x, rows, w_refs, blocks, ci, co, s_ref, t_ref):
-            """Banded conv + BN + GELU on (rows+2, W, d*ci) -> list of
-            per-depth-block (rows, W, blk*co) fp32, concatenated."""
-            outs = []
-            for bix, (o0, o1, lo, hi) in enumerate(blocks):
-                acc = None
-                for kh in range(3):
-                    xr = x[kh:kh + rows]
-                    for kw in range(3):
-                        dx = kw - 1
-                        if dx < 0:
-                            xs = jnp.concatenate(
-                                [jnp.zeros_like(xr[:, :1]), xr[:, :-1]],
-                                axis=1)
-                        elif dx > 0:
-                            xs = jnp.concatenate(
-                                [xr[:, 1:], jnp.zeros_like(xr[:, :1])],
-                                axis=1)
-                        else:
-                            xs = xr
-                        sl = xs[..., lo * ci:hi * ci]
-                        lhs = sl.reshape(rows * w, (hi - lo) * ci)
-                        y = jax.lax.dot_general(
-                            lhs.astype(mm_dt),
-                            w_refs[bix][kh * 3 + kw].astype(mm_dt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc = y if acc is None else acc + y
-                nb = (o1 - o0) * co
-                acc = acc.reshape(rows, w, nb)
-                # scale/bias rows are (1, d*co); slice then expand — a
-                # combined [None, None, slice] index on a 1-D value
-                # lowers to an unsupported >2D gather in Mosaic
-                sv = s_ref[...][:, o0 * co:o0 * co + nb]
-                tv = t_ref[...][:, o0 * co:o0 * co + nb]
-                yb = acc * sv[None] + tv[None]
-                outs.append(_gelu(yb, approx, interpret))
-            return jnp.concatenate(outs, axis=-1)
+        conv = _make_banded_conv(w, mm_dt, approx, interpret)
 
         x = win[2:th + 6].astype(jnp.float32)
         rg1 = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + r0 - 2
@@ -250,6 +257,198 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         out_shape=jax.ShapeDtypeStruct((b, h, w, d * co1), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 8, w, lc), vol.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            has_side_effects=False),
+        interpret=interpret,
+    )
+    out = run(*args)
+    if w != w_true:
+        out = out[:, :, :w_true]
+    return out
+
+
+_EPS = 1e-5
+
+
+def folded_volume_stem_agg_apply(ref: Array, tgt: Array, consts: dict, *,
+                                 num_groups: int, normalize: bool = False,
+                                 out_dtype=None,
+                                 interpret: bool = False) -> Array:
+    """Build the folded gwc/norm-correlation volume IN-KERNEL from the
+    matching descriptors and apply group_stem + agg — the cost volume is
+    never materialized in HBM.
+
+    Replaces ``correlation_volume_folded`` + ``folded_stem_agg_apply``
+    for the cv4/cv8 gwc path (reference math ``submodule.py:143-161`` for
+    the volume, ``ESMStereo.py:620-622`` for the convs): the standalone
+    pipeline writes the (H/4, W/4, D*G) volume once (~100 MB bf16 at
+    544x960 L) and re-reads it for group_stem; here each row block of the
+    two descriptor maps (~2 x 1 MB) is read instead, the volume rows live
+    only in VMEM, and the convs consume them directly. Exact: the volume
+    math mirrors the correlation kernel (including the bf16
+    quantize-to-HBM round trip when the descriptors are bf16, so results
+    are bit-comparable with the unfused pair).
+
+    ``ref``/``tgt``: (B, H, W, C) descriptors. Returns (B, H, W, D*co).
+    """
+    b, h, w, c = ref.shape
+    d = consts["d"]
+    ci0, co0 = consts["ci0"], consts["co0"]
+    ci1, co1 = consts["ci1"], consts["co1"]
+    assert ci0 == num_groups and c % num_groups == 0, (c, num_groups, ci0)
+    cpg = c // num_groups
+    approx = consts["gelu_approximate"]
+    out_dtype = out_dtype or ref.dtype
+    quantize_bf16 = ref.dtype == jnp.bfloat16
+    mm_dt = jnp.float32 if interpret else jnp.bfloat16
+
+    # fp32 kernel-side compute (Mosaic rejects sub-128-lane bf16 loads);
+    # the upcast fuses into the producer
+    ref = ref.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+    if normalize:
+        def l2n(x):
+            xg = x.reshape(b, h, w, num_groups, cpg)
+            n = jnp.linalg.norm(xg, axis=-1, keepdims=True)
+            return (xg / (n + _EPS)).reshape(b, h, w, c)
+        ref, tgt = l2n(ref), l2n(tgt)
+
+    # width alignment (see folded_stem_agg_apply): zero-padded ref/tgt
+    # columns produce zero volume columns — the convs' own zero padding
+    w_true = w
+    w = -(-w // 8) * 8
+    if w != w_true:
+        zpad = ((0, 0), (0, 0), (0, w - w_true), (0, 0))
+        ref = jnp.pad(ref, zpad)
+        tgt = jnp.pad(tgt, zpad)
+    # manual DMAs require 128-aligned lane (channel) slices; zero-pad the
+    # descriptor channels — exact, the group matrix rows for padded
+    # channels are zero and 0*0 products add nothing
+    c_pad = -(-c // 128) * 128
+    if c_pad != c:
+        cpad = ((0, 0), (0, 0), (0, 0), (0, c_pad - c))
+        ref = jnp.pad(ref, cpad)
+        tgt = jnp.pad(tgt, cpad)
+    # target window: left-pad d so shift d reads col x-d, right-pad to a
+    # sublane-aligned roll width (see ops.pallas.correlation)
+    ws = -(-(w + d) // 8) * 8
+    tgt = jnp.pad(tgt, ((0, 0), (0, 0), (d, ws - d - w), (0, 0)))
+
+    # shifts packed per MXU matmul (block-diagonal group matrix)
+    pack = max(p for p in range(1, d + 1)
+               if d % p == 0 and p * num_groups <= 128 and p * c_pad <= 512)
+    gmat = np.zeros((pack * c_pad, pack * num_groups), np.float32)
+    for i in range(pack):
+        for ch in range(c):
+            gmat[i * c_pad + ch, i * num_groups + ch // cpg] = 1.0 / cpg
+    gmat = jnp.asarray(gmat)
+
+    lc = d * ci0
+    budget = 16 * 1024 * 1024
+    th = 1
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and (cand + 4) * w * lc * 4 <= budget:
+            th = cand
+            break
+    ld = min(th + 4, h)
+
+    n_w0 = len(consts["w0"])
+    n_w1 = len(consts["w1"])
+
+    def kernel(*refs):
+        w0_refs = refs[0:n_w0]
+        s0_ref, t0_ref = refs[n_w0], refs[n_w0 + 1]
+        w1_refs = refs[n_w0 + 2: n_w0 + 2 + n_w1]
+        s1_ref, t1_ref = refs[n_w0 + 2 + n_w1], refs[n_w0 + 3 + n_w1]
+        gmat_ref = refs[n_w0 + 4 + n_w1]
+        ref_hbm = refs[n_w0 + 5 + n_w1]
+        tgt_hbm = refs[n_w0 + 6 + n_w1]
+        out_ref = refs[n_w0 + 7 + n_w1]
+        rwin, twin, sem_r, sem_t = refs[n_w0 + 8 + n_w1:]
+
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        r0 = ti * th
+
+        src = jnp.clip(r0 - 2, 0, h - ld)
+        dst = src - r0 + 4
+        cp_r = pltpu.make_async_copy(
+            ref_hbm.at[bi, pl.ds(src, ld)], rwin.at[pl.ds(dst, ld)], sem_r)
+        cp_t = pltpu.make_async_copy(
+            tgt_hbm.at[bi, pl.ds(src, ld)], twin.at[pl.ds(dst, ld)], sem_t)
+        cp_r.start()
+        cp_t.start()
+        cp_r.wait()
+        cp_t.wait()
+
+        # volume rows [r0-2, r0+th+2) built in VMEM, d-major lanes —
+        # identical math to _corr_kernel_folded (single disparity block)
+        xr = rwin[2:th + 6]                      # (th+4, W, Cp)
+        xt = twin[2:th + 6]                      # (th+4, ws, Cp)
+        rt = xr.reshape((th + 4) * w, c_pad)
+        ref_tile = jnp.concatenate([rt] * pack, axis=-1)
+        blocks = []
+        for j in range(d // pack):
+            shifts = []
+            for i in range(j * pack, (j + 1) * pack):
+                shifted = pltpu.roll(xt, shift=ws - d + i,
+                                     axis=1)[:, :w, :]
+                shifts.append(shifted.reshape((th + 4) * w, c_pad))
+            prod = ref_tile * jnp.concatenate(shifts, axis=-1)
+            if quantize_bf16 and not interpret:
+                cost = jnp.dot(prod.astype(jnp.bfloat16),
+                               gmat_ref[...].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                # reproduce the standalone pipeline's bf16 HBM round trip
+                cost = cost.astype(jnp.bfloat16).astype(jnp.float32)
+            else:
+                cost = jnp.dot(prod, gmat_ref[...],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            blocks.append(cost.reshape(th + 4, w, -1))
+        x = jnp.concatenate(blocks, axis=-1)     # (th+4, W, D*G) fp32
+
+        rg1 = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + r0 - 2
+        x = jnp.where((rg1 >= 0) & (rg1 < h), x, 0.0)
+
+        conv = _make_banded_conv(w, mm_dt, approx, interpret)
+        y1 = conv(x, th + 2, w0_refs, consts["blocks0"], ci0, co0,
+                  s0_ref, t0_ref)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+        rg = r0 - 1 + ri
+        y1 = jnp.where((rg >= 0) & (rg < h), y1, 0.0)
+        if w != w_true:
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+            y1 = jnp.where(cg < w_true, y1, 0.0)
+        y2 = conv(y1, th, w1_refs, consts["blocks1"], ci1, co1,
+                  s1_ref, t1_ref)
+        out_ref[0] = y2.astype(out_dtype)
+
+    args = (*consts["w0"],
+            jnp.concatenate(consts["s0"])[None],
+            jnp.concatenate(consts["t0"])[None],
+            *consts["w1"],
+            jnp.concatenate(consts["s1"])[None],
+            jnp.concatenate(consts["t1"])[None],
+            gmat, ref, tgt)
+
+    n_const = n_w0 + n_w1 + 5
+    run = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec((1, th, w, d * co1),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, d * co1), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 8, w, c_pad), jnp.float32),
+            pltpu.VMEM((th + 8, ws, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

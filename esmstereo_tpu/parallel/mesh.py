@@ -80,7 +80,8 @@ def spatial_safe_config(model_cfg, mesh: Mesh | None):
         return model_cfg
     return dataclasses.replace(
         model_cfg, pallas_volume=False, fuse_backbone_head=False,
-        fuse_stems=False, fuse_agg_stem=False, fuse_mixer=False)
+        fuse_stems=False, fuse_agg_stem=False, fuse_volume_agg=False,
+        fuse_mixer=False)
 
 
 def batch_spec() -> P:

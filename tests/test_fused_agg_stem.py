@@ -66,3 +66,58 @@ def test_kernel_batch2(rng):
     got = fas.folded_stem_agg_apply(vol, consts, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("normalize,groups", [(False, 8), (True, 1)])
+def test_volume_fused_kernel_matches_pipeline(rng, normalize, groups):
+    """In-kernel volume build + both convs == jnp folded volume ->
+    FoldedConvBlock3D pair (the unfused pipeline), descriptors in."""
+    from esmstereo_tpu import ops
+
+    c, depth, h, w = 16, 12, 8, 16
+    ref = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    if normalize:
+        vol = ops.build_norm_correlation_volume_folded(ref, tgt, depth)
+    else:
+        vol = ops.build_gwc_volume_folded(ref, tgt, depth, groups)
+
+    pair = _Pair(ci=groups, depth=depth)
+    v = pair.init(jax.random.key(2), vol, train=False)
+    want = pair.apply(v, vol, train=False)
+
+    p, s = v["params"], v["batch_stats"]
+    consts = fas.prepare_consts(
+        p["group_stem"]["conv"]["Conv_0"]["kernel"],
+        (p["group_stem"]["bn"], s["group_stem"]["bn"]),
+        p["agg"]["conv"]["Conv_0"]["kernel"],
+        (p["agg"]["bn"], s["agg"]["bn"]),
+        depth=depth, gelu_approximate=False)
+    got = fas.folded_volume_stem_agg_apply(
+        ref, tgt, consts, num_groups=groups, normalize=normalize,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_volume_fused_kernel_unaligned_width(rng):
+    from esmstereo_tpu import ops
+
+    c, depth, h, w = 16, 12, 8, 13
+    ref = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    vol = ops.build_gwc_volume_folded(ref, tgt, depth, 8)
+    pair = _Pair(ci=8, depth=depth)
+    v = pair.init(jax.random.key(3), vol, train=False)
+    want = pair.apply(v, vol, train=False)
+    p, s = v["params"], v["batch_stats"]
+    consts = fas.prepare_consts(
+        p["group_stem"]["conv"]["Conv_0"]["kernel"],
+        (p["group_stem"]["bn"], s["group_stem"]["bn"]),
+        p["agg"]["conv"]["Conv_0"]["kernel"],
+        (p["agg"]["bn"], s["agg"]["bn"]),
+        depth=depth, gelu_approximate=False)
+    got = fas.folded_volume_stem_agg_apply(
+        ref, tgt, consts, num_groups=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

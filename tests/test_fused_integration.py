@@ -58,11 +58,13 @@ def test_all_fused_paths_match_plain(force_interpret):
 
 
 def test_fused_agg_stem_cv8_matches_plain(force_interpret):
-    """cv8 routes group_stem+agg through the fused kernel too."""
+    """cv8 routes the FULLY fused (in-kernel volume build) stem+agg
+    path; the big cv4 test above covers the staged kernel pair."""
     common = dict(cv_scale=8, backbone="efficientnet_b2",
                   cost_volume="gwc")
     fused = ESMStereo(config=ESMStereoConfig(
-        fuse_agg_stem=True, pallas_volume=True, **common))
+        fuse_agg_stem=True, pallas_volume=True, fuse_volume_agg=True,
+        **common))
     plain = ESMStereo(config=ESMStereoConfig(
         fuse_agg_stem=False, pallas_volume=False, **common))
     left, right = _inputs()
