@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="deployment-precision tanh GELU (see bench.py)")
     args = p.parse_args()
 
     import jax
@@ -50,6 +52,10 @@ def main() -> None:
 
     import jax.numpy as jnp
     import numpy as np
+
+    if args.fast_gelu:
+        from esmstereo_tpu.nn.blocks import set_gelu_approximate
+        set_gelu_approximate(True)
 
     from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
     from esmstereo_tpu.utils.profiling import chained_scan_time_ms

@@ -95,6 +95,11 @@ def main() -> None:
                         "per-stage timing misses)")
     p.add_argument("--backbone-detail", action="store_true",
                    help="time the backbone stem and each stage separately")
+    p.add_argument("--model_prefix", action="store_true",
+                   help="variant-generic prefix profiling of the REAL "
+                        "model via capture_internals anchors (works for "
+                        "M/S too; XLA dead-code-eliminates past each "
+                        "anchor)")
     args = p.parse_args()
 
     import jax
@@ -129,8 +134,39 @@ def main() -> None:
     cfg = ESMStereoConfig(
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         **VARIANTS[args.variant])
+
+    if args.model_prefix:
+        from esmstereo_tpu.models import ESMStereo
+        model = ESMStereo(config=cfg)
+        rng0 = np.random.default_rng(0)
+        left = jax.device_put(np.asarray(
+            rng0.standard_normal((1, args.height, args.width, 3)),
+            np.float32))
+        right = jax.device_put(np.asarray(
+            rng0.standard_normal((1, args.height, args.width, 3)),
+            np.float32))
+        key0 = jax.random.key(0)
+        variables = jax.jit(
+            lambda l, r: model.init(key0, l, r, train=False))(left, right)
+
+        def upto(name):
+            def fn(l, r):
+                res, aux = model.apply(variables, l, r, train=False,
+                                       capture_internals=True)
+                return res[0] if name == "full" else aux[name]
+            return fn
+
+        prev = 0.0
+        for name in ("f16", "match_left", "cost", "init_pred", "full"):
+            ms = chained_time_ms(upto(name), (left, right), reps=args.reps)
+            print(json.dumps({"prefix": name, "ms": round(ms, 3),
+                              "delta": round(ms - prev, 3)}), flush=True)
+            prev = ms
+        return
+
     if cfg.cv_scale != 4:
-        raise SystemExit("stage decomposition implemented for L (cv4) only")
+        raise SystemExit("stage decomposition implemented for L (cv4) only"
+                         " — use --model_prefix for M/S")
     dtype = cfg.dtype
     chans = ARCHS[cfg.backbone].chans
 
