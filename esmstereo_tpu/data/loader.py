@@ -100,13 +100,17 @@ class DataLoader:
                     bi, batch_idx = job_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = []
-                for i in batch_idx:
-                    rng = np.random.default_rng(
-                        (self.seed, self.epoch, int(i)))
-                    samples.append(self.dataset.get(int(i), rng))
+                try:
+                    samples = []
+                    for i in batch_idx:
+                        rng = np.random.default_rng(
+                            (self.seed, self.epoch, int(i)))
+                        samples.append(self.dataset.get(int(i), rng))
+                    result = _collate(samples)
+                except BaseException as e:  # surface in the consumer,
+                    result = e              # don't hang the cond.wait
                 with cond:
-                    results[bi] = _collate(samples)
+                    results[bi] = result
                     cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -118,7 +122,10 @@ class DataLoader:
             with cond:
                 while bi not in results:
                     cond.wait()
-                yield results.pop(bi)
+                batch = results.pop(bi)
+            if isinstance(batch, BaseException):
+                raise batch
+            yield batch
 
     def _iter_processes(self, batches) -> Iterator[dict]:
         """Fork workers: each builds whole batches and ships the collated
@@ -140,12 +147,20 @@ class DataLoader:
                 if job is None:
                     return
                 bi, batch_idx = job
-                samples = []
-                for i in batch_idx:
-                    rng = np.random.default_rng(
-                        (self.seed, self.epoch, int(i)))
-                    samples.append(self.dataset.get(int(i), rng))
-                out_q.put((bi, _collate(samples)))
+                try:
+                    samples = []
+                    for i in batch_idx:
+                        rng = np.random.default_rng(
+                            (self.seed, self.epoch, int(i)))
+                        samples.append(self.dataset.get(int(i), rng))
+                    result = _collate(samples)
+                except BaseException as e:
+                    try:
+                        out_q.put((bi, e))
+                    except Exception:  # unpicklable exception
+                        out_q.put((bi, RuntimeError(repr(e))))
+                    continue
+                out_q.put((bi, result))
 
         procs = [ctx.Process(target=worker, daemon=True)
                  for _ in range(self.num_workers)]
@@ -155,9 +170,21 @@ class DataLoader:
             pending: dict[int, dict] = {}
             for want in range(len(batches)):
                 while want not in pending:
-                    bi, batch = out_q.get()
+                    try:
+                        bi, batch = out_q.get(timeout=30)
+                    except queue.Empty:
+                        # liveness guard: a crashed worker (OOM, bad
+                        # sample) must surface as an error, not a hang
+                        if not any(p.is_alive() for p in procs):
+                            raise RuntimeError(
+                                "all loader worker processes died; see "
+                                "their stderr for the failing sample")
+                        continue
                     pending[bi] = batch
-                yield pending.pop(want)
+                got = pending.pop(want)
+                if isinstance(got, BaseException):
+                    raise got
+                yield got
         finally:
             for p in procs:
                 p.terminate()

@@ -160,3 +160,21 @@ def test_kitti_routing_and_eval_padding(tmp_path):
         assert s["left"].shape == (64, 128, 3)
         assert s["top_pad"] == 4 and s["right_pad"] == 28
         assert (s["disparity"][:4] == 0).all()  # padded GT is invalid
+
+
+def test_loader_worker_errors_surface(tmp_path):
+    """A raising dataset.get must surface as an exception in the
+    consumer — in BOTH worker modes — rather than hanging the loop."""
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def get(self, i, rng):
+            if i == 2:
+                raise ValueError("bad sample 2")
+            return {"x": np.zeros((2, 2), np.float32)}
+
+    for kw in ({}, {"use_processes": True}):
+        loader = DataLoader(Bad(), batch_size=2, num_workers=2, **kw)
+        with pytest.raises(Exception, match="bad sample 2"):
+            list(loader)
