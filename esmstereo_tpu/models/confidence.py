@@ -22,12 +22,14 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from esmstereo_tpu import ops
 from esmstereo_tpu.models.esmstereo import (
     ESMStereo,
     ESMStereoConfig,
 )
+from esmstereo_tpu.nn import init as tinit
 from esmstereo_tpu.nn.blocks import ConvBlock, TorchConv
 
 Array = jax.Array
@@ -143,10 +145,105 @@ class ConfUpsample(nn.Module):
         return conf + conf1
 
 
+class _SpxParams(nn.Module):
+    """Parameters of the ``spx`` ConvTranspose(C -> 9, k4 s4 p0) at
+    TorchConvTranspose-compatible paths (``<name>/kernel``, ``/bias``)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self):
+        fan_in = 9 * 16  # out_channels * prod(kernel), torch deconv fan-in
+        bound = float(1.0 / np.sqrt(fan_in))
+
+        def kinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", kinit, (4, 4, self.in_channels, 9))
+        bias = self.param("bias", tinit.torch_conv_bias(fan_in), (9,))
+        return kernel, bias
+
+
+class PhConfUpsample(nn.Module):
+    """Phase-folded twin of ``ConfUpsample`` (TPU eval fast path).
+
+    The coarse section (cm stack + spx fusion convs) already runs on the
+    base grid and is kept as-is; the fine-resolution section is
+    re-expressed in phase space (``nn.phasefold``) so no small-channel
+    full-resolution conv ever executes:
+
+      * the ``spx`` ConvTranspose (k4 s4 p0) is non-overlapping, hence
+        exactly a per-phase 1x1 conv producing the 16 x 9 softmax weights
+        phase-major on the base grid;
+      * ``context_upsample`` becomes a 9-tap weighted sum against the
+        coarse 3x3 neighbourhood (``ops.unfold3x3``) — the full-res
+        9-channel weight tensor is never materialised;
+      * conv1 (full-res k3) / conv2 (stride 2) / conv1_up (x2 deconv) are
+        phase-folded convs at phases 4 -> 4 -> 2 -> 4.
+
+    Parameter tree is path-compatible with ``ConfUpsample``; the return
+    value is the PHASED (B, h, w, 16) confidence (``from_phases`` at the
+    caller). Eval-only like the phased disparity upsampler (per-channel
+    folded BN is exact for running stats). Equivalence:
+    tests/test_confidence.py::test_phased_conf_upsample_matches_plain.
+    """
+
+    channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feat: Array, init_conf: Array,
+                 *, train: bool = False) -> Array:
+        from esmstereo_tpu.models.phased_upsample import PhConvBlock
+
+        c = self.channels
+        x = init_conf
+        f = ConvBlock(c, 5, 1, 1, dtype=self.dtype, name="cm0")(x, train=train)
+        f = ConvBlock(c, 3, 1, 1, dtype=self.dtype, name="cm1")(f, train=train)
+        f = ConvBlock(c, 3, 1, 1, dtype=self.dtype, name="cm2")(f, train=train)
+        f = ConvBlock(c, 1, 1, 1, dtype=self.dtype, name="cm3")(f, train=train)
+
+        fused = ConvBlock(c, 3, 1, 1, dtype=self.dtype, name="spx4_0")(
+            jnp.concatenate([f, feat], axis=-1), train=train)
+        fused = TorchConv(c, 3, 1, 1, dtype=self.dtype, name="spx4_1")(fused)
+        fused = jax.nn.relu(_bn(train, self.dtype, "spx4_bn")(fused))
+
+        # spx ConvTranspose(k4 s4 p0): out[4i+qy, 4j+qx] = W[qy,qx] @ in[i,j]
+        # — a pure per-phase 1x1 conv on the base grid.
+        ci = fused.shape[-1]
+        w, b = _SpxParams(ci, name="spx")()
+        w_ph = jnp.transpose(w, (2, 0, 1, 3)).reshape(1, 1, ci, 16 * 9)
+        dt = self.dtype or fused.dtype
+        dn = jax.lax.conv_dimension_numbers(
+            fused.shape, w_ph.shape, ("NHWC", "HWIO", "NHWC"))
+        logits = jax.lax.conv_general_dilated(
+            fused.astype(dt), w_ph.astype(dt), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=dn)
+        logits = logits + jnp.tile(b, 16).astype(logits.dtype)
+
+        bsz, h, wdt, _ = logits.shape
+        sfm = jax.nn.softmax(
+            logits.reshape(bsz, h, wdt, 16, 9), axis=-1)
+        taps = ops.unfold3x3(init_conf)                      # (B, h, w, 9)
+        conf1_ph = jnp.sum(sfm * taps[..., None, :].astype(sfm.dtype),
+                           axis=-1)                          # (B, h, w, 16)
+
+        conf = PhConvBlock(c, 1, 3, 1, 4, 4, dtype=self.dtype,
+                           name="conv1")(conf1_ph, train=train)
+        conf = PhConvBlock(c, c, 3, 1, 4, 2, dtype=self.dtype,
+                           name="conv2")(conf, train=train)
+        conf = PhConvBlock(1, c, 4, 1, 2, 4, mode="deconv", dtype=self.dtype,
+                           name="conv1_up")(conf, train=train)
+        return conf + conf1_ph
+
+
 class LAFNetHead(nn.Module):
     """LAFNet confidence head (``ESMStereo_confidence.py:551-744``)."""
 
     channels: int = 16
+    # Execute the ConfUpsample fine-resolution sections in phase space on
+    # their base grids (eval only, param-compatible; see PhConfUpsample).
+    phase_up: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -225,6 +322,16 @@ class LAFNetHead(nn.Module):
             out = jax.nn.relu(_bn(train, self.dtype, f"fusion_bn3_iter{it}")(
                 fusion3(x)))
 
+        if self.phase_up and not train:
+            from esmstereo_tpu.nn.phasefold import from_phases
+            out4_ph = PhConfUpsample(c, dtype=self.dtype, name="conf_up4")(
+                f1, out, train=train)
+            # 1-channel fine tensor: cheap relayout into conf_up1's coarse
+            # section (cm stack at 1/4), like the disparity residual stream.
+            out4 = from_phases(out4_ph, 4)
+            out1_ph = PhConfUpsample(c, dtype=self.dtype, name="conf_up1")(
+                f2, out4, train=train)
+            return jax.nn.sigmoid(from_phases(out1_ph, 4))
         out4 = ConfUpsample(c, dtype=self.dtype, name="conf_up4")(
             f1, out, train=train)
         out1 = ConfUpsample(c, dtype=self.dtype, name="conf_up1")(
@@ -252,7 +359,8 @@ class ESMStereoConfidence(nn.Module):
         backbone = ESMStereo(config=cfg, name="stereo")
         disp, aux = backbone(left, right, train=train, train_status=False,
                              capture_internals=True)
-        conf = LAFNetHead(16, dtype=cfg.dtype, name="confidence_net")(
+        conf = LAFNetHead(16, phase_up=cfg.phase_fold_upsample,
+                          dtype=cfg.dtype, name="confidence_net")(
             aux["cost"], aux["init_pred"], aux["match_left"],
             aux["f16"], aux["f4"], train=train)
         return disp[0], conf[..., 0]

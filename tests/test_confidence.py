@@ -57,3 +57,44 @@ def test_grid_enlarge_matches_reference_semantics(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), want.numpy(),
         rtol=1e-4, atol=1e-5)
+
+
+def test_phased_conf_upsample_matches_plain(rng):
+    """PhConfUpsample vs ConfUpsample with shared parameters (exact
+    reparameterization; see PhConfUpsample docstring)."""
+    from esmstereo_tpu.models.confidence import ConfUpsample, PhConfUpsample
+    from esmstereo_tpu.nn.phasefold import from_phases
+
+    h, w = 8, 12
+    feat = jnp.asarray(rng.standard_normal((1, h, w, 24)), jnp.float32)
+    init = jnp.asarray(rng.random((1, h, w, 1)), jnp.float32)
+    ref = ConfUpsample(16)
+    ph = PhConfUpsample(16)
+    variables = ref.init(jax.random.key(0), feat, init, train=False)
+    want = ref.apply(variables, feat, init, train=False)
+    got_ph = ph.apply(variables, feat, init, train=False)
+    got = from_phases(got_ph, 4)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_full_confidence_model_with_phase_fold(rng):
+    """End-to-end confidence model: phased vs plain upsampling head with
+    shared parameters."""
+    base = dict(cv_scale=16, backbone="mobilenetv2_100",
+                cost_volume="norm_correlation", use_pallas=False)
+    m_ref = ESMStereoConfidence(
+        config=ESMStereoConfig(phase_fold_upsample=False, **base))
+    m_ph = ESMStereoConfidence(
+        config=ESMStereoConfig(phase_fold_upsample=True, **base))
+    rng_np = np.random.default_rng(7)
+    left = jnp.asarray(rng_np.standard_normal((1, 64, 96, 3)), jnp.float32)
+    right = jnp.asarray(rng_np.standard_normal((1, 64, 96, 3)), jnp.float32)
+    variables = m_ref.init(jax.random.key(0), left, right, train=False)
+    want_d, want_c = m_ref.apply(variables, left, right, train=False)
+    got_d, got_c = m_ph.apply(variables, left, right, train=False)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=2e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=2e-3, atol=2e-3)

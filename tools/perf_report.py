@@ -23,6 +23,10 @@ VARIANTS = {
     "L": dict(cv_scale=4, backbone="efficientnet_b2"),
     "M": dict(cv_scale=8, backbone="efficientnet_b2"),
     "S": dict(cv_scale=16, backbone="mobilenetv2_100"),
+    # confidence variant (S config + LAFNet head); both outputs are
+    # consumed in the timing chain
+    "C": dict(cv_scale=16, backbone="mobilenetv2_100",
+              cost_volume="norm_correlation"),
 }
 
 
@@ -70,13 +74,22 @@ def main() -> None:
         name, _, suffix = spec.partition("_")
         dtype = jnp.bfloat16 if suffix == "bf16" else None
         cfg = ESMStereoConfig(dtype=dtype, **VARIANTS[name])
-        model = ESMStereo(config=cfg)
+        if name == "C":
+            from esmstereo_tpu.models.confidence import ESMStereoConfidence
+            model = ESMStereoConfidence(config=cfg)
+        else:
+            model = ESMStereo(config=cfg)
         variables = jax.jit(
             lambda l, r: model.init(jax.random.key(0), l, r, train=False)
         )(left, right)
 
-        def apply_fn(v, l, r):
-            return model.apply(v, l, r, train=False)[0]
+        if name == "C":
+            def apply_fn(v, l, r):
+                d, conf = model.apply(v, l, r, train=False)
+                return d + conf
+        else:
+            def apply_fn(v, l, r):
+                return model.apply(v, l, r, train=False)[0]
 
         ms = chained_scan_time_ms(apply_fn, variables, left, right,
                                   reps=args.reps)
