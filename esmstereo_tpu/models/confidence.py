@@ -248,9 +248,14 @@ class LAFNetHead(nn.Module):
 
     @nn.compact
     def __call__(self, cost: Array, disp: Array, imag: Array, f1: Array,
-                 f2: Array, *, train: bool = False) -> Array:
+                 f2: Array, *, train: bool = False,
+                 capture: dict | None = None) -> Array:
         c = self.channels
         b, num_d, h, w = cost.shape
+
+        def _cap(name, value):
+            if capture is not None:
+                capture[name] = value
 
         # top-7 of the softmaxed, L2-normalised (over D), sharpened cost
         cost_bhwd = jnp.moveaxis(cost, 1, -1)
@@ -258,6 +263,7 @@ class LAFNetHead(nn.Module):
                         + 1e-6)
         x = jax.nn.softmax(-(cost_bhwd / norm) * 100.0, axis=-1)
         topv, _ = jax.lax.top_k(x, 7)  # (B, H, W, 7)
+        _cap("topv", topv)
 
         cost_x = _ConvBnRelu3(c, dtype=self.dtype, name="cost_feat")(
             topv, train=train)
@@ -281,6 +287,7 @@ class LAFNetHead(nn.Module):
         feat = TorchConv(c, 3, 1, 1, use_bias=True, init_mode="kaiming_relu",
                          dtype=self.dtype, name="embed_conv1")(x)
         feat = jax.nn.relu(_bn(train, self.dtype, "embed_bn1")(feat))
+        _cap("embed1", feat)
 
         s = TorchConv(c, 3, 1, 1, use_bias=True, init_mode="kaiming_relu",
                       dtype=self.dtype, name="scale_conv1")(feat)
@@ -301,6 +308,7 @@ class LAFNetHead(nn.Module):
         feat = TorchConv(c, 3, 3, 0, use_bias=True, init_mode="kaiming_relu",
                          dtype=self.dtype, name="embed_conv2")(feat_enl)
         feat = jax.nn.relu(_bn(train, self.dtype, "embed_bn2")(feat))
+        _cap("embed2", feat)
 
         # 3 fusion iterations: shared convs, per-iteration BNs
         fusion1 = TorchConv(c, 3, 1, 1, use_bias=True,
@@ -321,6 +329,7 @@ class LAFNetHead(nn.Module):
                 fusion2(x)))
             out = jax.nn.relu(_bn(train, self.dtype, f"fusion_bn3_iter{it}")(
                 fusion3(x)))
+        _cap("fusion", out)
 
         if self.phase_up and not train:
             from esmstereo_tpu.nn.phasefold import from_phases
@@ -329,11 +338,13 @@ class LAFNetHead(nn.Module):
             # 1-channel fine tensor: cheap relayout into conf_up1's coarse
             # section (cm stack at 1/4), like the disparity residual stream.
             out4 = from_phases(out4_ph, 4)
+            _cap("out4", out4)
             out1_ph = PhConfUpsample(c, dtype=self.dtype, name="conf_up1")(
                 f2, out4, train=train)
             return jax.nn.sigmoid(from_phases(out1_ph, 4))
         out4 = ConfUpsample(c, dtype=self.dtype, name="conf_up4")(
             f1, out, train=train)
+        _cap("out4", out4)
         out1 = ConfUpsample(c, dtype=self.dtype, name="conf_up1")(
             f2, out4, train=train)
         return jax.nn.sigmoid(out1)
@@ -350,8 +361,8 @@ class ESMStereoConfidence(nn.Module):
         cv_scale=16, backbone="mobilenetv2_100")
 
     @nn.compact
-    def __call__(self, left: Array, right: Array, *, train: bool = False
-                 ) -> tuple[Array, Array]:
+    def __call__(self, left: Array, right: Array, *, train: bool = False,
+                 capture_internals: bool = False):
         cfg = self.config
         assert cfg.cv_scale == 16, (
             "the confidence head is only defined for cv_scale=16 "
@@ -359,8 +370,12 @@ class ESMStereoConfidence(nn.Module):
         backbone = ESMStereo(config=cfg, name="stereo")
         disp, aux = backbone(left, right, train=train, train_status=False,
                              capture_internals=True)
+        caps: dict | None = dict(aux) if capture_internals else None
         conf = LAFNetHead(16, phase_up=cfg.phase_fold_upsample,
                           dtype=cfg.dtype, name="confidence_net")(
             aux["cost"], aux["init_pred"], aux["match_left"],
-            aux["f16"], aux["f4"], train=train)
+            aux["f16"], aux["f4"], train=train, capture=caps)
+        if capture_internals:
+            caps["disp"] = disp[0]
+            return (disp[0], conf[..., 0]), caps
         return disp[0], conf[..., 0]

@@ -139,6 +139,11 @@ class ESMStereoConfig:
     # recompute waste ~(tile+30)/tile — no tile size gets compile under
     # budget without ~2x compute. Do NOT enable on hardware.
     fuse_mixer: bool = False
+    # Run the same mixer section in W-phase lanes at the XLA level
+    # (nn/wphase.py): 8 width-phases folded into 128 lanes, every op a
+    # block-structured conv/matmul, the depthwise 7x7 densified onto the
+    # MXU. Exact up to float reassociation; eval-only dispatch.
+    wphase_mixer: bool = False
     dtype: Any = None
 
     def __post_init__(self):
@@ -700,6 +705,7 @@ class ESMStereo(nn.Module):
             if phased:
                 from esmstereo_tpu.models.phased_upsample import PhUpsample4
                 ups = PhUpsample4(dtype=dtype, fuse_mixer=cfg.fuse_mixer,
+                                  wphase_mixer=cfg.wphase_mixer,
                                   name="upsample_module")
             else:
                 ups = Upsample4(dtype=dtype, name="upsample_module")

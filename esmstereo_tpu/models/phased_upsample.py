@@ -461,6 +461,7 @@ class PhUpStage2x(nn.Module):
 
     dtype: Any = None
     fuse_mixer: bool = False
+    wphase_mixer: bool = False
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, init_disp: Array,
@@ -494,6 +495,10 @@ class PhUpStage2x(nn.Module):
             x = _fm.fused_mixer_apply(x, consts,
                                       interpret=_plmod.force_interpret())
             x = x.astype(dt or x.dtype)
+        elif (self.wphase_mixer and not train
+              and x.shape[2] % 8 == 0):
+            from esmstereo_tpu.nn.wphase import mixer_wphase
+            x = mixer_wphase(x, mix_params, dtype=dt)
         else:
             x = _fm.mixer_reference(x, mix_params, dtype=dt)
         x = PhConv(1, 16, 3, 1, 2, 2, use_bias=True, flat=True, dtype=dt,
@@ -537,11 +542,13 @@ class PhUpsample4(nn.Module):
 
     dtype: Any = None
     fuse_mixer: bool = False
+    wphase_mixer: bool = False
 
     @nn.compact
     def __call__(self, f1x: Array, f2x: Array, f4x: Array, init_disp: Array,
                  *, train: bool = False) -> tuple[Array, Array]:
         up2 = PhUpStage2x(dtype=self.dtype, fuse_mixer=self.fuse_mixer,
+                          wphase_mixer=self.wphase_mixer,
                           name="stage2x")(
             f1x, f2x, init_disp, train=train)
         up4 = PhUpStage4x(dtype=self.dtype, name="stage4x")(

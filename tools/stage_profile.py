@@ -27,6 +27,9 @@ VARIANTS = {
     "L": dict(cv_scale=4, backbone="efficientnet_b2"),
     "M": dict(cv_scale=8, backbone="efficientnet_b2"),
     "S": dict(cv_scale=16, backbone="mobilenetv2_100"),
+    # confidence variant (S config + LAFNet head), --model_prefix only
+    "C": dict(cv_scale=16, backbone="mobilenetv2_100",
+              cost_volume="norm_correlation"),
 }
 
 
@@ -136,8 +139,15 @@ def main() -> None:
         **VARIANTS[args.variant])
 
     if args.model_prefix:
-        from esmstereo_tpu.models import ESMStereo
-        model = ESMStereo(config=cfg)
+        if args.variant == "C":
+            from esmstereo_tpu.models.confidence import ESMStereoConfidence
+            model = ESMStereoConfidence(config=cfg)
+            anchors = ("f16", "match_left", "cost", "init_pred", "disp",
+                       "topv", "embed1", "embed2", "fusion", "out4", "full")
+        else:
+            from esmstereo_tpu.models import ESMStereo
+            model = ESMStereo(config=cfg)
+            anchors = ("f16", "match_left", "cost", "init_pred", "full")
         rng0 = np.random.default_rng(0)
         left = jax.device_put(np.asarray(
             rng0.standard_normal((1, args.height, args.width, 3)),
@@ -153,11 +163,16 @@ def main() -> None:
             def fn(l, r):
                 res, aux = model.apply(variables, l, r, train=False,
                                        capture_internals=True)
-                return res[0] if name == "full" else aux[name]
+                if name != "full":
+                    return aux[name]
+                # confidence model: consume BOTH outputs at "full"
+                if args.variant == "C":
+                    return res[0] + res[1]
+                return res[0]
             return fn
 
         prev = 0.0
-        for name in ("f16", "match_left", "cost", "init_pred", "full"):
+        for name in anchors:
             ms = chained_time_ms(upto(name), (left, right), reps=args.reps)
             print(json.dumps({"prefix": name, "ms": round(ms, 3),
                               "delta": round(ms - prev, 3)}), flush=True)
