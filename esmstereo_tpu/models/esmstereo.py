@@ -139,10 +139,16 @@ class ESMStereoConfig:
     # recompute waste ~(tile+30)/tile — no tile size gets compile under
     # budget without ~2x compute. Do NOT enable on hardware.
     fuse_mixer: bool = False
-    # Run the same mixer section in W-phase lanes at the XLA level
-    # (nn/wphase.py): 8 width-phases folded into 128 lanes, every op a
-    # block-structured conv/matmul, the depthwise 7x7 densified onto the
-    # MXU. Exact up to float reassociation; eval-only dispatch.
+    # TRIED-AND-LOST fast path (kept as tested groundwork, like
+    # fused_stage / fuse_volume_agg): the same mixer section in W-phase
+    # lanes at the XLA level (nn/wphase.py) — 8 width-phases folded into
+    # 128 lanes, every op a block-structured conv/matmul, the depthwise
+    # 7x7 densified onto the MXU. Exact up to float reassociation, but
+    # interleaved A/B on L bf16 544x960 measured a ~0.2-0.4 ms LOSS in
+    # BOTH harness modes (args: 13.89 plain vs 14.15 wphase; const
+    # weights: 12.78 vs 13.03, tools/wphase_ab.py 2026-08-21): the extra
+    # block matmuls + fp32 LN passes cost more than the 16-lane
+    # underfill they avoid. Do not enable by default.
     wphase_mixer: bool = False
     dtype: Any = None
 

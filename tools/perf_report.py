@@ -41,6 +41,13 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--fast_gelu", action="store_true",
                    help="deployment-precision tanh GELU (see bench.py)")
+    p.add_argument("--const_weights", action="store_true",
+                   help="close the parameters over the jit (compile-time "
+                        "constants) instead of passing them as arguments — "
+                        "the serving configuration (a baked engine, like "
+                        "the reference's TensorRT deployments). Measured "
+                        "1.7x faster on the overhead-bound S variant "
+                        "(BASELINE.md round-3 harness note)")
     args = p.parse_args()
 
     import jax
@@ -91,10 +98,16 @@ def main() -> None:
             def apply_fn(v, l, r):
                 return model.apply(v, l, r, train=False)[0]
 
-        ms = chained_scan_time_ms(apply_fn, variables, left, right,
-                                  reps=args.reps)
+        if args.const_weights:
+            from tools.stage_profile import chained_time_ms
+            ms = chained_time_ms(lambda l, r: apply_fn(variables, l, r),
+                                 (left, right), reps=args.reps)
+        else:
+            ms = chained_scan_time_ms(apply_fn, variables, left, right,
+                                      reps=args.reps)
         print(json.dumps({
             "variant": spec,
+            "weights": "const" if args.const_weights else "args",
             "shape": f"{args.batch}x{args.height}x{args.width}",
             "ms_per_frame": round(ms, 2),
             "fps_per_chip": round(1e3 / ms * args.batch, 1),

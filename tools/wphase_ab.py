@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--const_weights", action="store_true",
+                   help="serving mode: close the params over the jit "
+                        "(see perf_report.py --const_weights)")
     args = p.parse_args()
 
     import jax
@@ -76,9 +79,18 @@ def main() -> None:
 
     for rnd in range(args.rounds):
         for name in ("plain", "wphase"):
-            ms = chained_scan_time_ms(fns[name], variables, left, right,
-                                      reps=args.reps)
+            if args.const_weights:
+                from tools.stage_profile import chained_time_ms
+                fn = fns[name]
+                ms = chained_time_ms(
+                    lambda l, r, _f=fn: _f(variables, l, r),
+                    (left, right), reps=args.reps)
+            else:
+                ms = chained_scan_time_ms(fns[name], variables, left, right,
+                                          reps=args.reps)
             print(json.dumps({"round": rnd, "config": name,
+                              "weights": ("const" if args.const_weights
+                                          else "args"),
                               "ms": round(ms, 3)}), flush=True)
 
 
