@@ -129,7 +129,7 @@ class ESMStereoConfig:
     fuse_volume_agg: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,
     # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
-    # shuffle-up as one Pallas kernel (ops.pallas.fused_mixer). The
+    # shuffle-up as one Pallas kernel (attic/fused_mixer.py). The
     # section's plain lowering wastes ~1.3 ms/frame at 12% lane
     # utilization, and the kernel is numerically exact — but its Mosaic
     # compile takes 2643 s (44 min) at 544x960 even after the roll-FMA ->
@@ -141,7 +141,7 @@ class ESMStereoConfig:
     fuse_mixer: bool = False
     # TRIED-AND-LOST fast path (kept as tested groundwork, like
     # fused_stage / fuse_volume_agg): the same mixer section in W-phase
-    # lanes at the XLA level (nn/wphase.py) — 8 width-phases folded into
+    # lanes at the XLA level (attic/wphase.py) — 8 width-phases folded into
     # 128 lanes, every op a block-structured conv/matmul, the depthwise
     # 7x7 densified onto the MXU. Exact up to float reassociation, but
     # interleaved A/B on L bf16 544x960 measured a ~0.2-0.4 ms LOSS in

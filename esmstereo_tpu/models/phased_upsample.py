@@ -467,7 +467,7 @@ class PhUpStage2x(nn.Module):
     def __call__(self, f1x: Array, f2x: Array, init_disp: Array,
                  *, train: bool = False) -> Array:
         from esmstereo_tpu.models.esmstereo import DispFeatures, SpxBlock
-        from esmstereo_tpu.ops.pallas import fused_mixer as _fm
+        from esmstereo_tpu.nn import mixer as _mx
 
         dt = self.dtype
         d = DispFeatures(32, dtype=dt, name="dm")(init_disp, train=train)
@@ -491,16 +491,17 @@ class PhUpStage2x(nn.Module):
                       and _plmod.accel_ok()
                       and (x.shape[2] * 16) % 128 == 0)
         if run_kernel:
+            from esmstereo_tpu.attic import fused_mixer as _fm
             consts = _fm.prepare_consts(mix_params, width=x.shape[2])
             x = _fm.fused_mixer_apply(x, consts,
                                       interpret=_plmod.force_interpret())
             x = x.astype(dt or x.dtype)
         elif (self.wphase_mixer and not train
               and x.shape[2] % 8 == 0):
-            from esmstereo_tpu.nn.wphase import mixer_wphase
+            from esmstereo_tpu.attic.wphase import mixer_wphase
             x = mixer_wphase(x, mix_params, dtype=dt)
         else:
-            x = _fm.mixer_reference(x, mix_params, dtype=dt)
+            x = _mx.mixer_reference(x, mix_params, dtype=dt)
         x = PhConv(1, 16, 3, 1, 2, 2, use_bias=True, flat=True, dtype=dt,
                    name="tail")(x)
         x2 = PhUpRefinement(32, 2, 1, 1, 96, 48, dtype=dt, name="ref")(

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from esmstereo_tpu.models.phased_upsample import PhUpsample4, PhUpStage2x
-from esmstereo_tpu.ops.pallas import fused_mixer as fm
+from esmstereo_tpu.attic import fused_mixer as fm
 
 
 def _plain_section_module():

@@ -11,7 +11,7 @@ from esmstereo_tpu.backbones.efficientnet import (
     DepthwiseSeparable,
     InvertedResidual,
 )
-from esmstereo_tpu.ops.pallas import fused_stage as fs
+from esmstereo_tpu.attic import fused_stage as fs
 
 
 def _plain_stage(arch: str, si: int) -> nn.Module:

@@ -64,10 +64,10 @@ def _rand_sm(rng):
 
 
 def test_wphase_mixer_matches_reference(rng):
-    """nn.wphase.mixer_wphase vs the plain mixer lowering (same params):
+    """attic.wphase.mixer_wphase vs the plain mixer lowering (same params):
     exact up to float reassociation of the folded block matmuls."""
-    from esmstereo_tpu.nn.wphase import mixer_wphase
-    from esmstereo_tpu.ops.pallas.fused_mixer import mixer_reference
+    from esmstereo_tpu.attic.wphase import mixer_wphase
+    from esmstereo_tpu.nn.mixer import mixer_reference
 
     def fm():
         return {"sm1": _rand_sm(rng), "sm2": _rand_sm(rng),

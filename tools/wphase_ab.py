@@ -25,7 +25,10 @@ def main() -> None:
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--fast_gelu", action="store_true", default=True)
+    p.add_argument("--fast_gelu", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="tanh-approx GELU (default on; --no-fast_gelu for "
+                        "an exact-erf A/B)")
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
