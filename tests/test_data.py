@@ -178,3 +178,58 @@ def test_loader_worker_errors_surface(tmp_path):
         loader = DataLoader(Bad(), batch_size=2, num_workers=2, **kw)
         with pytest.raises(Exception, match="bad sample 2"):
             list(loader)
+
+
+def test_scene_batch_geometry(rng):
+    """make_scene_batch is geometrically exact: wherever a left pixel's
+    layer is also visible at its matched right location, the (normalised)
+    pixel values agree bitwise; and both occluded and multi-layer
+    structure actually occur."""
+    from esmstereo_tpu.data.synthetic import make_scene_batch
+
+    b = make_scene_batch(rng, batch=4, h=64, w=128, disp_range=(4, 24),
+                         return_layers=True)
+    h, w = 64, 128
+    any_occluded = False
+    for i in range(4):
+        left, right = b["left"][i], b["right"][i]
+        gt = b["disparity"][i]
+        assert len(np.unique(gt)) >= 2  # background + >=1 foreground layer
+        # right-view ownership: composite the ORIGINAL layer masks the
+        # same back-to-front way the generator composites textures (the
+        # final left masks differ in dis-occluded regions)
+        own_r = np.zeros((h, w), np.float32)
+        for mask, d in b["layers"][i]:
+            mask_r = np.zeros((h, w), bool)
+            mask_r[:, : w - int(d)] = mask[:, int(d):]
+            own_r[mask_r] = d
+        xs = np.arange(w)[None, :].repeat(h, 0)
+        xr = xs - gt.astype(int)
+        valid = xr >= 0
+        vis = valid & (own_r[np.arange(h)[:, None], np.clip(xr, 0, w - 1)]
+                       == gt)
+        assert vis.mean() > 0.5
+        any_occluded |= bool((valid & ~vis).any())
+        li = left[vis]
+        ri = right[np.arange(h)[:, None].repeat(w, 1)[vis], xr[vis]]
+        np.testing.assert_array_equal(li, ri)
+    assert any_occluded
+
+
+def test_accuracy_scoreboard_smoke(tmp_path):
+    """The scoreboard tool runs end-to-end (tiny config) and writes a
+    well-formed ACCURACY.json."""
+    import json
+
+    from tools.accuracy_scoreboard import main
+
+    out = tmp_path / "ACCURACY.json"
+    res = main(["--cpu", "--variants", "S", "--steps", "2",
+                "--height", "64", "--width", "96", "--batch", "2",
+                "--eval_pairs", "2", "--disp_max", "16",
+                "--out", str(out)])
+    on_disk = json.loads(out.read_text())
+    assert on_disk == res
+    s = on_disk["variants"]["S"]
+    assert {"EPE", "D1", "Thres1", "Thres2", "Thres3"} <= set(s)
+    assert on_disk["meta"]["eval_seed"] == 9999

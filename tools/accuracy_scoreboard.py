@@ -1,0 +1,164 @@
+"""Standing accuracy scoreboard on a fixed, seeded, held-out synthetic set.
+
+Zero egress makes real SceneFlow/KITTI impossible in this environment, so
+round-over-round accuracy regressions need a procedural stand-in for the
+reference's always-on eval numbers (``/root/reference/test_kitti.py:117-125``,
+``train_sceneflow.py:246-250``): this tool trains each variant from
+scratch on seeded layered-scene stereo pairs (``data/synthetic.py::
+make_scene_batch`` — fronto-parallel layers, exact occlusion-aware GT),
+evaluates on a DISJOINT fixed-seed held-out set with the standard
+5-metric bundle, and writes ``ACCURACY.json``. Same seeds + same code
+=> comparable numbers; an accuracy regression between rounds shows up as
+a jump in this file's diff.
+
+The confidence variant is not scored: the reference has no confidence
+training path at all (the conf head exists only in the ONNX/TensorRT
+export chain, ``onnx_transformed_confidence.py``), so there is no recipe
+to regress against.
+
+Usage (the committed artifact is produced on the TPU):
+    python tools/accuracy_scoreboard.py --out ACCURACY.json
+    python tools/accuracy_scoreboard.py --cpu --variants S --steps 2 \
+        --height 64 --width 96 --eval_pairs 2   # smoke (tests)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "L": dict(cv_scale=4, backbone="efficientnet_b2"),
+    "M": dict(cv_scale=8, backbone="efficientnet_b2"),
+    "S": dict(cv_scale=16, backbone="mobilenetv2_100"),
+}
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--variants", default="L,M,S")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--eval_pairs", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--disp_min", type=int, default=4)
+    p.add_argument("--disp_max", type=int, default=40)
+    p.add_argument("--train_seed", type=int, default=42)
+    p.add_argument("--eval_seed", type=int, default=9999,
+                   help="held-out set seed — never used for training")
+    p.add_argument("--out", default="ACCURACY.json")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esmstereo_tpu.data.synthetic import make_scene_batch
+    from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+    from esmstereo_tpu.train.state import (
+        count_params,
+        create_train_state,
+        make_optimizer,
+    )
+    from esmstereo_tpu.train.step import make_train_step
+    from esmstereo_tpu.utils.metrics import eval_metrics
+
+    def to_dev(b):
+        return {k: (jnp.asarray(v) if not isinstance(v, list)
+                    else [jnp.asarray(x) for x in v]) for k, v in b.items()}
+
+    scene = dict(h=args.height, w=args.width,
+                 disp_range=(args.disp_min, args.disp_max))
+    # ONE fixed held-out set shared by every variant
+    eval_rng = np.random.default_rng(args.eval_seed)
+    eval_batches = [
+        to_dev(make_scene_batch(eval_rng, args.batch, pyramid=False,
+                                **scene))
+        for _ in range(max(1, args.eval_pairs // args.batch))
+    ]
+
+    results: dict[str, dict] = {}
+    for name in [v.strip() for v in args.variants.split(",") if v.strip()]:
+        cfg = ESMStereoConfig(**VARIANTS[name])
+        model = ESMStereo(config=cfg)
+        rng = np.random.default_rng(args.train_seed)
+        sample = to_dev(make_scene_batch(rng, args.batch, **scene))
+        state = create_train_state(model, jax.random.key(0), sample,
+                                   make_optimizer("adamw", args.lr))
+        train_step = jax.jit(make_train_step(model))
+        t0 = time.time()
+        last = {}
+        for step in range(args.steps):
+            batch = to_dev(make_scene_batch(rng, args.batch, **scene))
+            state, metrics = train_step(state, batch)
+            if step % 50 == 0 or step == args.steps - 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                print(f"[{name}] step {step}: "
+                      + " ".join(f"{k}={v:.3f}" for k, v in last.items()),
+                      flush=True)
+
+        @jax.jit
+        def eval_fn(variables, left, right):
+            return model.apply(variables, left, right, train=False)[0]
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        sums: dict[str, float] = {}
+        for b in eval_batches:
+            d = eval_fn(variables, b["left"], b["right"])
+            gt = b["disparity"]
+            mask = (gt > 0) & (gt < cfg.max_disp)
+            for k, v in eval_metrics(d, gt, mask).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n = len(eval_batches)
+        results[name] = {
+            **{k: round(v / n, 4) for k, v in sums.items()},
+            "final_train": {k: round(v, 4) for k, v in last.items()},
+            "params": count_params(state.params),
+            "train_seconds": round(time.time() - t0, 1),
+        }
+        print(f"[{name}] eval:", json.dumps(results[name]), flush=True)
+
+    out = {
+        "meta": {
+            "steps": args.steps,
+            "shape": f"{args.batch}x{args.height}x{args.width}",
+            "eval_pairs": len(eval_batches) * args.batch,
+            "disp_range": [args.disp_min, args.disp_max],
+            "train_seed": args.train_seed,
+            "eval_seed": args.eval_seed,
+            "lr": args.lr,
+            "backend": jax.default_backend(),
+            "date": time.strftime("%Y-%m-%d"),
+        },
+        "variants": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"accuracy_scoreboard": {
+        k: {"EPE": v["EPE"], "D1": v["D1"]} for k, v in results.items()}}),
+        flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    main()
