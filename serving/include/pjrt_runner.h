@@ -16,6 +16,7 @@
 #include <vector>
 
 typedef struct PJRT_Api PJRT_Api;
+typedef struct PJRT_Buffer PJRT_Buffer;
 typedef struct PJRT_Client PJRT_Client;
 typedef struct PJRT_Device PJRT_Device;
 typedef struct PJRT_LoadedExecutable PJRT_LoadedExecutable;
@@ -61,6 +62,47 @@ class PjrtRunner {
                       std::vector<Tensor>* outputs);
   std::string ExecuteModule(int index, const std::vector<Tensor>& inputs,
                             std::vector<Tensor>* outputs);
+
+  // --- Lower-level pieces (steady-state serving loop) ---------------------
+  // The one-shot ExecuteModule re-uploads the inputs and reads back every
+  // output on every call; a serving loop wants to upload the frame once
+  // and time repeated executions. These expose the stages separately.
+
+  // Host float32 tensors -> device buffers (blocks until transferred).
+  std::string UploadInputs(const std::vector<Tensor>& inputs,
+                           std::vector<PJRT_Buffer*>* buffers);
+  // One execution on already-resident buffers. If `await`, blocks on the
+  // device-complete event; otherwise the execution is left in flight
+  // (executions on one device retire in submission order).
+  std::string ExecuteBuffers(int index,
+                             const std::vector<PJRT_Buffer*>& inputs,
+                             std::vector<PJRT_Buffer*>* outputs, bool await);
+  // Device buffers -> host tensors (blocks: this is the D2H anchor).
+  std::string ReadBuffers(const std::vector<PJRT_Buffer*>& buffers,
+                          std::vector<Tensor>* outputs);
+  void DestroyBuffers(std::vector<PJRT_Buffer*>* buffers);
+
+  // Steady-state per-frame timing, the counterpart of the reference
+  // node's per-frame enqueueV3 wall-clock
+  // (kitti_publisher_cuda_node.cpp:361-380). Inputs are uploaded ONCE;
+  // then `warmup` anchored frames are discarded and `frames` are timed
+  // two ways:
+  //   anchored_ms_*: execute + full output readback per frame (honest
+  //     per-frame latency including the D2H anchor — on tunneled
+  //     platforms a bare execute-event await may not block);
+  //   pipelined_ms: all executions submitted back-to-back, one readback
+  //     at the end anchoring the whole chain — amortised per-frame
+  //     throughput, the C++ analog of bench.py's chained-scan number.
+  // `last_outputs`, if non-null, receives the final frame's outputs.
+  struct TimedStats {
+    double anchored_ms_mean = 0.0;
+    double anchored_ms_median = 0.0;
+    double pipelined_ms = 0.0;
+    int frames = 0;
+  };
+  std::string TimedRun(int index, const std::vector<Tensor>& inputs,
+                       int warmup, int frames, TimedStats* stats,
+                       std::vector<Tensor>* last_outputs);
 
   const std::string& platform_name() const { return platform_name_; }
 

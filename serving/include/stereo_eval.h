@@ -27,6 +27,18 @@ struct EvalResult {
 EvalResult EvaluateDisparity(const float* est, const float* gt, int height,
                              int width, float max_disp = 192.0f);
 
+// EvaluateDisparity restricted to pixels the model itself trusts:
+// conf >= threshold joins the GT validity mask — the confidence node's
+// thresholded view of accuracy (the reference node applies the same mask
+// before display/recording, kitti_publisher_conf_cuda_node.cpp:571-575).
+// `coverage`, if non-null, receives the fraction of GT-valid pixels that
+// pass the confidence threshold.
+EvalResult EvaluateDisparityConf(const float* est, const float* gt,
+                                 const float* conf, float threshold,
+                                 int height, int width,
+                                 float max_disp = 192.0f,
+                                 double* coverage = nullptr);
+
 // vKITTI uint16 depth (centimetres) -> disparity = fx * baseline / depth_m;
 // depth of 0 or >= 655.35 m maps to 0 (invalid).
 void DepthToDisparity(const uint16_t* depth_cm, int height, int width,

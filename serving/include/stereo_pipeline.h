@@ -45,6 +45,17 @@ struct PostprocessConfig {
 void PostprocessDisparity(const float* disp, const PostprocessConfig& cfg,
                           std::vector<uint16_t>* out);
 
+// Confidence-masked variant for 2-output (disparity, confidence) engines:
+// crop BOTH maps, median-filter the disparity, then validity =
+// (0 < d < max_disp) AND (conf >= threshold) — the reference conf node's
+// mask (kitti_publisher_conf_cuda_node.cpp:571-575: conf_mask & range_mask,
+// invalid set to 0, x256 uint16). `conf_out`, if non-null, receives the
+// cropped confidence map (for eval / visualisation).
+void PostprocessDisparityConf(const float* disp, const float* conf,
+                              float threshold, const PostprocessConfig& cfg,
+                              std::vector<uint16_t>* out,
+                              std::vector<float>* conf_out);
+
 // 5x5 median filter (border replicated), single-channel float.
 void MedianFilter5x5(const float* src, int height, int width, float* dst);
 

@@ -5,6 +5,11 @@
 //   pipeline_tool selftest
 //   pipeline_tool preprocess  <in_rgb.u8.bin> h w th tw <out.f32.bin>
 //   pipeline_tool postprocess <in.f32.bin> ph pw oh ow max_disp <out.u16.bin>
+//   pipeline_tool postprocess_conf <disp.f32.bin> <conf.f32.bin> ph pw oh ow
+//                                  max_disp threshold <out.u16.bin>
+//                                  <conf_out.f32.bin>
+//   pipeline_tool eval_conf <est.f32.bin> <gt.f32.bin> <conf.f32.bin> h w
+//                           max_disp threshold   (prints JSON to stdout)
 
 #include <cassert>
 #include <cmath>
@@ -14,6 +19,7 @@
 #include <string>
 #include <vector>
 
+#include "stereo_eval.h"
 #include "stereo_pipeline.h"
 
 namespace {
@@ -109,7 +115,51 @@ int main(int argc, char** argv) {
     WriteAll(argv[8], out.data(), out.size() * sizeof(uint16_t));
     return 0;
   }
-  std::fprintf(stderr, "usage: %s selftest|preprocess|postprocess ...\n",
+  if (argc == 12 && std::strcmp(argv[1], "postprocess_conf") == 0) {
+    const int ph = std::atoi(argv[4]), pw = std::atoi(argv[5]);
+    const int oh = std::atoi(argv[6]), ow = std::atoi(argv[7]);
+    auto disp = ReadAll(argv[2]);
+    auto conf = ReadAll(argv[3]);
+    assert(disp.size() == static_cast<size_t>(ph) * pw * sizeof(float));
+    assert(conf.size() == disp.size());
+    esmstereo::PostprocessConfig cfg;
+    cfg.padded = {ph, pw};
+    cfg.original = {oh, ow};
+    cfg.max_disp = std::strtof(argv[8], nullptr);
+    const float threshold = std::strtof(argv[9], nullptr);
+    std::vector<uint16_t> out;
+    std::vector<float> conf_out;
+    esmstereo::PostprocessDisparityConf(
+        reinterpret_cast<const float*>(disp.data()),
+        reinterpret_cast<const float*>(conf.data()), threshold, cfg, &out,
+        &conf_out);
+    WriteAll(argv[10], out.data(), out.size() * sizeof(uint16_t));
+    WriteAll(argv[11], conf_out.data(), conf_out.size() * sizeof(float));
+    return 0;
+  }
+  if (argc == 9 && std::strcmp(argv[1], "eval_conf") == 0) {
+    const int h = std::atoi(argv[5]), w = std::atoi(argv[6]);
+    auto est = ReadAll(argv[2]);
+    auto gt = ReadAll(argv[3]);
+    auto conf = ReadAll(argv[4]);
+    assert(est.size() == static_cast<size_t>(h) * w * sizeof(float));
+    assert(gt.size() == est.size() && conf.size() == est.size());
+    const float max_disp = std::strtof(argv[7], nullptr);
+    const float threshold = std::strtof(argv[8], nullptr);
+    double coverage = 0.0;
+    const auto r = esmstereo::EvaluateDisparityConf(
+        reinterpret_cast<const float*>(est.data()),
+        reinterpret_cast<const float*>(gt.data()),
+        reinterpret_cast<const float*>(conf.data()), threshold, h, w,
+        max_disp, &coverage);
+    std::printf(
+        "{\"epe\": %.8f, \"d1\": %.8f, \"bad3\": %.8f, "
+        "\"valid_pixels\": %d, \"coverage\": %.8f}\n",
+        r.epe, r.d1, r.bad3, r.valid_pixels, coverage);
+    return 0;
+  }
+  std::fprintf(stderr, "usage: %s selftest|preprocess|postprocess|"
+               "postprocess_conf|eval_conf ...\n",
                argv[0]);
   return 2;
 }

@@ -2,6 +2,8 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
+#include <chrono>
 #include <cstring>
 #include <numeric>
 
@@ -169,12 +171,19 @@ std::string PjrtRunner::Execute(const std::vector<Tensor>& inputs,
 std::string PjrtRunner::ExecuteModule(int index,
                                       const std::vector<Tensor>& inputs,
                                       std::vector<Tensor>* outputs) {
-  if (index < 0 || index >= static_cast<int>(executables_.size())) {
-    return "Execute before Compile (module index out of range)";
-  }
-  PJRT_LoadedExecutable* executable_ = executables_[index];
+  std::vector<PJRT_Buffer*> in_buffers, out_buffers;
+  auto e = UploadInputs(inputs, &in_buffers);
+  if (e.empty()) e = ExecuteBuffers(index, in_buffers, &out_buffers, true);
+  if (e.empty()) e = ReadBuffers(out_buffers, outputs);
+  DestroyBuffers(&in_buffers);
+  DestroyBuffers(&out_buffers);
+  return e;
+}
 
-  std::vector<PJRT_Buffer*> in_buffers(inputs.size());
+std::string PjrtRunner::UploadInputs(const std::vector<Tensor>& inputs,
+                                     std::vector<PJRT_Buffer*>* buffers) {
+  std::vector<PJRT_Buffer*>& in_buffers = *buffers;
+  in_buffers.assign(inputs.size(), nullptr);
   for (size_t i = 0; i < inputs.size(); ++i) {
     PJRT_Client_BufferFromHostBuffer_Args bargs;
     std::memset(&bargs, 0, sizeof(bargs));
@@ -199,6 +208,16 @@ std::string PjrtRunner::ExecuteModule(int index,
                                    nullptr, bargs.done_with_host_buffer};
     api_->PJRT_Event_Destroy(&edargs);
   }
+  return "";
+}
+
+std::string PjrtRunner::ExecuteBuffers(
+    int index, const std::vector<PJRT_Buffer*>& inputs,
+    std::vector<PJRT_Buffer*>* outputs, bool await) {
+  if (index < 0 || index >= static_cast<int>(executables_.size())) {
+    return "Execute before Compile (module index out of range)";
+  }
+  PJRT_LoadedExecutable* executable_ = executables_[index];
 
   // number of outputs
   PJRT_Executable_NumOutputs_Args nargs;
@@ -220,8 +239,9 @@ std::string PjrtRunner::ExecuteModule(int index,
   }
   const size_t num_outputs = nargs.num_outputs;
 
-  std::vector<PJRT_Buffer*> out_buffers(num_outputs, nullptr);
-  PJRT_Buffer* const* arg_list = in_buffers.data();
+  std::vector<PJRT_Buffer*>& out_buffers = *outputs;
+  out_buffers.assign(num_outputs, nullptr);
+  PJRT_Buffer* const* arg_list = inputs.data();
   PJRT_Buffer** out_list = out_buffers.data();
   PJRT_Event* complete_event = nullptr;
 
@@ -236,7 +256,7 @@ std::string PjrtRunner::ExecuteModule(int index,
   eargs.options = &options;
   eargs.argument_lists = &arg_list;
   eargs.num_devices = 1;
-  eargs.num_args = in_buffers.size();
+  eargs.num_args = inputs.size();
   eargs.output_lists = &out_list;
   eargs.device_complete_events = &complete_event;
   if (auto e = ErrorToString(api_->PJRT_LoadedExecutable_Execute(&eargs));
@@ -244,14 +264,22 @@ std::string PjrtRunner::ExecuteModule(int index,
     return "Execute: " + e;
   }
   if (complete_event != nullptr) {
-    PJRT_Event_Await_Args wargs{PJRT_Event_Await_Args_STRUCT_SIZE, nullptr,
-                                complete_event};
-    ErrorToString(api_->PJRT_Event_Await(&wargs));
+    if (await) {
+      PJRT_Event_Await_Args wargs{PJRT_Event_Await_Args_STRUCT_SIZE, nullptr,
+                                  complete_event};
+      ErrorToString(api_->PJRT_Event_Await(&wargs));
+    }
     PJRT_Event_Destroy_Args edargs{PJRT_Event_Destroy_Args_STRUCT_SIZE,
                                    nullptr, complete_event};
     api_->PJRT_Event_Destroy(&edargs);
   }
+  return "";
+}
 
+std::string PjrtRunner::ReadBuffers(const std::vector<PJRT_Buffer*>& bufs,
+                                    std::vector<Tensor>* outputs) {
+  const std::vector<PJRT_Buffer*>& out_buffers = bufs;
+  const size_t num_outputs = bufs.size();
   outputs->clear();
   outputs->resize(num_outputs);
   for (size_t i = 0; i < num_outputs; ++i) {
@@ -288,17 +316,76 @@ std::string PjrtRunner::ExecuteModule(int index,
       api_->PJRT_Event_Destroy(&edargs);
     }
   }
+  return "";
+}
 
-  for (auto* b : in_buffers) {
+void PjrtRunner::DestroyBuffers(std::vector<PJRT_Buffer*>* buffers) {
+  for (auto* b : *buffers) {
+    if (b == nullptr) continue;
     PJRT_Buffer_Destroy_Args dargs{PJRT_Buffer_Destroy_Args_STRUCT_SIZE,
                                    nullptr, b};
     api_->PJRT_Buffer_Destroy(&dargs);
   }
-  for (auto* b : out_buffers) {
-    PJRT_Buffer_Destroy_Args dargs{PJRT_Buffer_Destroy_Args_STRUCT_SIZE,
-                                   nullptr, b};
-    api_->PJRT_Buffer_Destroy(&dargs);
+  buffers->clear();
+}
+
+std::string PjrtRunner::TimedRun(int index,
+                                 const std::vector<Tensor>& inputs,
+                                 int warmup, int frames, TimedStats* stats,
+                                 std::vector<Tensor>* last_outputs) {
+  if (frames <= 0) return "TimedRun needs frames > 0";
+  std::vector<PJRT_Buffer*> in_buffers;
+  if (auto e = UploadInputs(inputs, &in_buffers); !e.empty()) return e;
+
+  auto run_anchored = [&](std::vector<Tensor>* host_out) -> std::string {
+    std::vector<PJRT_Buffer*> out;
+    std::vector<Tensor> scratch;
+    auto e = ExecuteBuffers(index, in_buffers, &out, true);
+    if (e.empty()) e = ReadBuffers(out, host_out ? host_out : &scratch);
+    DestroyBuffers(&out);
+    return e;
+  };
+
+  std::string err;
+  for (int i = 0; i < warmup && err.empty(); ++i) err = run_anchored(nullptr);
+
+  // anchored: per-frame execute + full readback wall-clock
+  std::vector<double> per_frame;
+  per_frame.reserve(frames);
+  for (int i = 0; i < frames && err.empty(); ++i) {
+    const auto t0 = std::chrono::steady_clock::now();
+    err = run_anchored(nullptr);
+    const auto t1 = std::chrono::steady_clock::now();
+    per_frame.push_back(
+        std::chrono::duration<double>(t1 - t0).count() * 1e3);
   }
+
+  // pipelined: submit everything, anchor once on the last readback
+  double pipelined_ms = 0.0;
+  std::vector<std::vector<PJRT_Buffer*>> outs(frames);
+  if (err.empty()) {
+    const auto t0 = std::chrono::steady_clock::now();
+    for (int i = 0; i < frames && err.empty(); ++i) {
+      err = ExecuteBuffers(index, in_buffers, &outs[i], false);
+    }
+    std::vector<Tensor> scratch;
+    std::vector<Tensor>* sink = last_outputs ? last_outputs : &scratch;
+    if (err.empty()) err = ReadBuffers(outs[frames - 1], sink);
+    const auto t1 = std::chrono::steady_clock::now();
+    pipelined_ms =
+        std::chrono::duration<double>(t1 - t0).count() * 1e3 / frames;
+  }
+  for (auto& o : outs) DestroyBuffers(&o);
+  DestroyBuffers(&in_buffers);
+  if (!err.empty()) return err;
+
+  std::sort(per_frame.begin(), per_frame.end());
+  double sum = 0.0;
+  for (double v : per_frame) sum += v;
+  stats->frames = frames;
+  stats->anchored_ms_mean = sum / frames;
+  stats->anchored_ms_median = per_frame[frames / 2];
+  stats->pipelined_ms = pipelined_ms;
   return "";
 }
 

@@ -52,6 +52,38 @@ EvalResult EvaluateDisparity(const float* est, const float* gt, int height,
   return res;
 }
 
+EvalResult EvaluateDisparityConf(const float* est, const float* gt,
+                                 const float* conf, float threshold,
+                                 int height, int width, float max_disp,
+                                 double* coverage) {
+  EvalResult res;
+  double err_sum = 0.0;
+  int d1 = 0, bad3 = 0, gt_valid = 0;
+  for (int i = 0; i < height * width; ++i) {
+    const float g = gt[i];
+    if (g <= 0.0f || g >= max_disp) continue;
+    ++gt_valid;
+    if (conf[i] < threshold) continue;
+    const float e = std::fabs(est[i] - g);
+    err_sum += e;
+    if (e > 3.0f) {
+      ++bad3;
+      if (e / g > 0.05f) ++d1;
+    }
+    ++res.valid_pixels;
+  }
+  if (res.valid_pixels > 0) {
+    res.epe = err_sum / res.valid_pixels;
+    res.d1 = static_cast<double>(d1) / res.valid_pixels;
+    res.bad3 = static_cast<double>(bad3) / res.valid_pixels;
+  }
+  if (coverage != nullptr) {
+    *coverage = gt_valid > 0
+        ? static_cast<double>(res.valid_pixels) / gt_valid : 0.0;
+  }
+  return res;
+}
+
 void DepthToDisparity(const uint16_t* depth_cm, int height, int width,
                       double fx, double baseline_m, float* disparity) {
   for (int i = 0; i < height * width; ++i) {

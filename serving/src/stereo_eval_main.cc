@@ -18,15 +18,17 @@
 #include "stereo_eval.h"
 
 int main(int argc, char** argv) {
-  std::string est_path, gt_path, gt_depth_path, err_path;
+  std::string est_path, gt_path, gt_depth_path, err_path, conf_path;
   double fx = 707.0912, baseline = 0.536;
-  float max_disp = 192.0f;
+  float max_disp = 192.0f, conf_threshold = 0.5f;
   for (int i = 1; i + 1 < argc; i += 2) {
     const std::string k = argv[i], v = argv[i + 1];
     if (k == "--est") est_path = v;
     else if (k == "--gt") gt_path = v;
     else if (k == "--gt_depth") gt_depth_path = v;
     else if (k == "--err_out") err_path = v;
+    else if (k == "--conf") conf_path = v;
+    else if (k == "--conf_threshold") conf_threshold = std::stof(v);
     else if (k == "--fx") fx = std::stod(v);
     else if (k == "--baseline") baseline = std::stod(v);
     else if (k == "--max_disp") max_disp = std::stof(v);
@@ -36,7 +38,8 @@ int main(int argc, char** argv) {
     std::fprintf(stderr,
                  "usage: stereo_eval --est d.png (--gt g.png | "
                  "--gt_depth depth.png --fx F --baseline B) "
-                 "[--err_out err.png]\n");
+                 "[--err_out err.png] "
+                 "[--conf conf.png --conf_threshold 0.5]\n");
     return 2;
   }
 
@@ -77,6 +80,29 @@ int main(int argc, char** argv) {
       esmstereo::EvaluateDisparity(est.data(), gt.data(), h, w, max_disp);
   std::printf("EPE %.4f  D1 %.4f  >3px %.4f  (%d valid px)\n", res.epe,
               res.d1, res.bad3, res.valid_pixels);
+
+  if (!conf_path.empty()) {
+    // uint16 PNG, conf*65535 (stereo_infer --conf_out format)
+    cv::Mat conf16 = cv::imread(conf_path, cv::IMREAD_UNCHANGED);
+    if (conf16.empty() || conf16.rows != h || conf16.cols != w ||
+        conf16.type() != CV_16UC1) {
+      std::fprintf(stderr, "conf must be a uint16 PNG of the same size\n");
+      return 1;
+    }
+    std::vector<float> conf(static_cast<size_t>(h) * w);
+    for (int i = 0; i < h * w; ++i) {
+      conf[i] = conf16.at<uint16_t>(i / w, i % w) / 65535.0f;
+    }
+    double coverage = 0.0;
+    const auto cres = esmstereo::EvaluateDisparityConf(
+        est.data(), gt.data(), conf.data(), conf_threshold, h, w, max_disp,
+        &coverage);
+    std::printf(
+        "conf>=%.2f: EPE %.4f  D1 %.4f  >3px %.4f  (%d px, coverage "
+        "%.3f)\n",
+        conf_threshold, cres.epe, cres.d1, cres.bad3, cres.valid_pixels,
+        coverage);
+  }
 
   if (!err_path.empty()) {
     std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);

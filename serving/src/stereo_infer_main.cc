@@ -7,8 +7,15 @@
 // Usage:
 //   stereo_infer --model StereoModel.stablehlo.mlir --plugin libtpu.so \
 //       --left l.png --right r.png --out disp.png [--vis disp_color.png] \
-//       [--height 384 --width 1248] [--fx 707.0912 --baseline 0.536]
+//       [--height 384 --width 1248] [--fx 707.0912 --baseline 0.536] \
+//       [--conf_out conf.png --conf_threshold 0.5]   (2-output engines) \
+//       [--frames 50 --warmup 3]                     (steady-state timing)
+//
+// With a 2-output (disparity, confidence) engine the validity mask is
+// range AND conf>=threshold, per the reference confidence node
+// (/root/reference/kitti_publisher_conf/src/kitti_publisher_conf_cuda_node.cpp:571-575).
 
+#include <algorithm>
 #include <chrono>
 #include <cstdio>
 #include <string>
@@ -35,9 +42,11 @@ std::string ReadFile(const std::string& path) {
 }
 
 struct Options {
-  std::string model, plugin, left, right, out, vis;
+  std::string model, plugin, left, right, out, vis, conf_out;
   int height = 384, width = 1248;
   float max_disp = 192.0f;
+  float conf_threshold = 0.5f;  // reference slider default range 0..1
+  int frames = 0, warmup = 3;   // frames>0: steady-state timing loop
   double fx = 707.0912, baseline = 0.536;  // reference launch defaults
   std::vector<esmstereo::PjrtRunner::Option> plugin_options;
 };
@@ -64,6 +73,10 @@ bool ParseArgs(int argc, char** argv, Options* o) {
     else if (k == "--right") o->right = v;
     else if (k == "--out") o->out = v;
     else if (k == "--vis") o->vis = v;
+    else if (k == "--conf_out") o->conf_out = v;
+    else if (k == "--conf_threshold") o->conf_threshold = std::stof(v);
+    else if (k == "--frames") o->frames = std::stoi(v);
+    else if (k == "--warmup") o->warmup = std::stoi(v);
     else if (k == "--height") o->height = std::stoi(v);
     else if (k == "--width") o->width = std::stoi(v);
     else if (k == "--max_disp") o->max_disp = std::stof(v);
@@ -136,25 +149,79 @@ int main(int argc, char** argv) {
   inputs[1].data = std::move(right_in);
 
   std::vector<esmstereo::PjrtRunner::Tensor> outputs;
-  t0 = std::chrono::steady_clock::now();
-  if (auto e = runner.Execute(inputs, &outputs); !e.empty()) {
-    std::fprintf(stderr, "execute failed: %s\n", e.c_str());
-    return 1;
+  if (opt.frames > 0) {
+    // Steady-state per-frame loop: the counterpart of the reference
+    // node's per-frame enqueueV3 timing (:361-380). Inputs upload once;
+    // "anchored" frames each include the full D2H readback, "pipelined"
+    // amortises one readback over the whole chain (bench.py's
+    // chained-scan rationale — on tunneled platforms only a D2H anchor
+    // provably blocks, so single-execute walls are not device time).
+    esmstereo::PjrtRunner::TimedStats st;
+    if (auto e = runner.TimedRun(0, inputs, opt.warmup, opt.frames, &st,
+                                 &outputs);
+        !e.empty()) {
+      std::fprintf(stderr, "timed run failed: %s\n", e.c_str());
+      return 1;
+    }
+    std::printf(
+        "{\"frames\": %d, \"warmup\": %d, "
+        "\"anchored_ms_mean\": %.3f, \"anchored_ms_median\": %.3f, "
+        "\"anchored_fps\": %.2f, \"pipelined_ms\": %.3f, "
+        "\"pipelined_fps\": %.2f}\n",
+        st.frames, opt.warmup, st.anchored_ms_mean, st.anchored_ms_median,
+        1e3 / st.anchored_ms_median, st.pipelined_ms,
+        1e3 / st.pipelined_ms);
+  } else {
+    t0 = std::chrono::steady_clock::now();
+    if (auto e = runner.Execute(inputs, &outputs); !e.empty()) {
+      std::fprintf(stderr, "execute failed: %s\n", e.c_str());
+      return 1;
+    }
+    t1 = std::chrono::steady_clock::now();
+    const double ms = std::chrono::duration<double>(t1 - t0).count() * 1e3;
+    std::fprintf(stderr,
+                 "single execute round-trip: %.2f ms (dispatch+RPC+D2H "
+                 "wall — NOT steady-state; use --frames N for per-frame "
+                 "timing)\n", ms);
   }
-  t1 = std::chrono::steady_clock::now();
-  const double ms = std::chrono::duration<double>(t1 - t0).count() * 1e3;
-  std::fprintf(stderr, "inference: %.2f ms (%.1f FPS)\n", ms, 1e3 / ms);
 
   esmstereo::PostprocessConfig post;
   post.padded = {opt.height, opt.width};
   post.original = {left_rgb.rows, left_rgb.cols};
   post.max_disp = opt.max_disp;
   std::vector<uint16_t> disp_u16;
-  esmstereo::PostprocessDisparity(outputs[0].data.data(), post, &disp_u16);
+  const bool has_conf = outputs.size() >= 2;
+  std::vector<float> conf_map;
+  if (has_conf) {
+    // 2-output (disparity, confidence) engine
+    // (export_stablehlo.py --confidence): validity = range AND
+    // conf >= threshold, per the reference conf node (:571-575).
+    esmstereo::PostprocessDisparityConf(
+        outputs[0].data.data(), outputs[1].data.data(), opt.conf_threshold,
+        post, &disp_u16, &conf_map);
+  } else {
+    esmstereo::PostprocessDisparity(outputs[0].data.data(), post,
+                                    &disp_u16);
+  }
 
   cv::Mat disp(left_rgb.rows, left_rgb.cols, CV_16UC1, disp_u16.data());
   cv::imwrite(opt.out, disp);
   std::fprintf(stderr, "wrote %s\n", opt.out.c_str());
+
+  if (has_conf && !opt.conf_out.empty()) {
+    // confidence as 16-bit x65535 (sigmoid output in [0,1])
+    cv::Mat conf16(left_rgb.rows, left_rgb.cols, CV_16UC1);
+    for (int y = 0; y < left_rgb.rows; ++y) {
+      for (int x = 0; x < left_rgb.cols; ++x) {
+        const float c = conf_map[static_cast<size_t>(y) * left_rgb.cols + x];
+        conf16.at<uint16_t>(y, x) = static_cast<uint16_t>(
+            std::min(std::max(c, 0.0f), 1.0f) * 65535.0f);
+      }
+    }
+    cv::imwrite(opt.conf_out, conf16);
+    std::fprintf(stderr, "wrote %s (conf x65535, threshold %.2f)\n",
+                 opt.conf_out.c_str(), opt.conf_threshold);
+  }
 
   if (!opt.vis.empty()) {
     cv::Mat disp8, color;

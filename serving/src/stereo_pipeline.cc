@@ -81,4 +81,44 @@ void PostprocessDisparity(const float* disp, const PostprocessConfig& cfg,
   }
 }
 
+void PostprocessDisparityConf(const float* disp, const float* conf,
+                              float threshold, const PostprocessConfig& cfg,
+                              std::vector<uint16_t>* out,
+                              std::vector<float>* conf_out) {
+  const int ph = cfg.padded.height, pw = cfg.padded.width;
+  const int oh = cfg.original.height, ow = cfg.original.width;
+  const int top = cfg.pad_top ? ph - oh : 0;
+  const int left = cfg.pad_right ? 0 : pw - ow;
+
+  std::vector<float> cropped(static_cast<size_t>(oh) * ow);
+  std::vector<float> conf_c(cropped.size());
+  for (int y = 0; y < oh; ++y) {
+    std::memcpy(cropped.data() + static_cast<size_t>(y) * ow,
+                disp + (static_cast<size_t>(y + top) * pw + left),
+                sizeof(float) * ow);
+    std::memcpy(conf_c.data() + static_cast<size_t>(y) * ow,
+                conf + (static_cast<size_t>(y + top) * pw + left),
+                sizeof(float) * ow);
+  }
+
+  std::vector<float> filtered;
+  const float* final_disp = cropped.data();
+  if (cfg.median_filter) {
+    filtered.resize(cropped.size());
+    MedianFilter5x5(cropped.data(), oh, ow, filtered.data());
+    final_disp = filtered.data();
+  }
+
+  out->resize(cropped.size());
+  for (size_t i = 0; i < cropped.size(); ++i) {
+    const float d = final_disp[i];
+    const bool valid =
+        d > 0.0f && d < cfg.max_disp && conf_c[i] >= threshold;
+    (*out)[i] = valid
+        ? static_cast<uint16_t>(std::min(d * 256.0f, 65535.0f))
+        : 0;
+  }
+  if (conf_out != nullptr) *conf_out = std::move(conf_c);
+}
+
 }  // namespace esmstereo

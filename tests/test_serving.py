@@ -157,3 +157,66 @@ def test_ros2_node_syntax():
                          timeout=180)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "syntax OK" in out.stdout
+
+
+def test_postprocess_conf_matches_python(pipeline_tool, tmp_path, rng):
+    """Confidence-masked postprocess: validity = range AND conf>=tau
+    (kitti_publisher_conf_cuda_node.cpp:571-575)."""
+    import cv2
+
+    ph, pw, oh, ow = 64, 64, 30, 45
+    max_disp, tau = 192.0, 0.6
+    disp = (rng.random((ph, pw)).astype(np.float32) * 250.0) - 20.0
+    conf = rng.random((ph, pw)).astype(np.float32)
+    dpath, cpath = tmp_path / "d.bin", tmp_path / "c.bin"
+    out, cout = tmp_path / "out.bin", tmp_path / "conf_out.bin"
+    disp.tofile(dpath)
+    conf.tofile(cpath)
+    subprocess.run([pipeline_tool, "postprocess_conf", str(dpath),
+                    str(cpath), str(ph), str(pw), str(oh), str(ow),
+                    str(max_disp), str(tau), str(out), str(cout)],
+                   check=True)
+    got = np.fromfile(out, dtype=np.uint16).reshape(oh, ow)
+    got_conf = np.fromfile(cout, dtype=np.float32).reshape(oh, ow)
+
+    cropped = disp[ph - oh:, :ow]
+    conf_c = conf[ph - oh:, :ow]
+    filtered = cv2.medianBlur(cropped, 5)
+    valid = (filtered > 0) & (filtered < max_disp) & (conf_c >= tau)
+    want = np.where(valid,
+                    np.minimum(filtered * 256.0, 65535.0).astype(np.uint16),
+                    0).astype(np.uint16)
+    interior = (slice(2, -2), slice(2, -2))
+    np.testing.assert_array_equal(got[interior], want[interior])
+    np.testing.assert_array_equal(got_conf, conf_c)
+
+
+def test_eval_conf_matches_python(pipeline_tool, tmp_path, rng):
+    """Conf-thresholded EPE/D1 + coverage vs a numpy reference."""
+    import json
+
+    h, w, tau = 40, 60, 0.4
+    gt = rng.random((h, w)).astype(np.float32) * 100.0
+    gt[:5] = 0.0
+    est = np.clip(gt + rng.standard_normal((h, w)).astype(np.float32) * 4.0,
+                  0, 250).astype(np.float32)
+    conf = rng.random((h, w)).astype(np.float32)
+    paths = []
+    for name, arr in (("est", est), ("gt", gt), ("conf", conf)):
+        p = tmp_path / f"{name}.bin"
+        arr.tofile(p)
+        paths.append(str(p))
+    out = subprocess.run([pipeline_tool, "eval_conf", *paths, str(h),
+                          str(w), "192", str(tau)],
+                         check=True, capture_output=True, text=True).stdout
+    got = json.loads(out)
+
+    gt_mask = (gt > 0) & (gt < 192)
+    m = gt_mask & (conf >= tau)
+    err = np.abs(est - gt)[m]
+    np.testing.assert_allclose(got["epe"], err.mean(), atol=1e-6)
+    np.testing.assert_allclose(
+        got["d1"], ((err > 3) & (err / gt[m] > 0.05)).mean(), atol=1e-6)
+    np.testing.assert_allclose(got["coverage"], m.sum() / gt_mask.sum(),
+                               atol=1e-6)
+    assert got["valid_pixels"] == int(m.sum())

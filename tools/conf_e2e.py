@@ -1,0 +1,170 @@
+"""Native confidence serving, end to end: 2-output engine on the TPU.
+
+The reference's confidence node deserializes a 4-tensor TensorRT engine,
+reads disparity AND confidence, and masks validity by range AND
+conf >= threshold with a live threshold control
+(``kitti_publisher_conf_cuda_node.cpp:354,463-490,571-575``). This drives
+the TPU-native counterpart through real hardware:
+
+  1. export the confidence variant as StableHLO
+     (``export_stablehlo.py --confidence``) at the deployment shape;
+  2. run the C++ ``stereo_infer`` against the PJRT tunnel plugin with
+     ``--conf_out`` + ``--conf_threshold`` and an N-frame steady-state
+     timing loop (``--frames``);
+  3. golden BOTH outputs against the Python forward of the same export
+     (disparity through the identical conf-masked postprocess; the
+     confidence map through the x65535 quantisation);
+  4. run the C++ ``stereo_eval --conf`` on the outputs against the
+     synthetic pair's known constant disparity.
+
+Writes ``CONF_E2E.json`` at the repo root. Budget ~6-10 min wall
+(session claim + remote compile).
+
+Usage: python tools/conf_e2e.py [--height 384 --width 1248]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.pjrt_e2e import axon_env, axon_plugin_options  # noqa: E402
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="C++ confidence serving e2e")
+    p.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=1248)
+    p.add_argument("--conf_threshold", type=float, default=0.5)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--shift", type=int, default=4)
+    p.add_argument("--workdir", default="/tmp/conf_e2e")
+    p.add_argument("--infer_bin",
+                   default=os.path.join(REPO, "serving/build/stereo_infer"))
+    p.add_argument("--eval_bin",
+                   default=os.path.join(REPO, "serving/build/stereo_eval"))
+    p.add_argument("--out_json", default=os.path.join(REPO, "CONF_E2E.json"))
+    return p.parse_args()
+
+
+def main() -> int:
+    args = parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import cv2
+    import jax.export
+    import jax.numpy as jnp
+    import numpy as np
+
+    # 1) export the confidence variant (CPU trace; portable StableHLO)
+    model_path = os.path.join(args.workdir, "StereoConf")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/export_stablehlo.py"),
+         "--cpu", "--confidence", "--height", str(args.height),
+         "--width", str(args.width), "--out", model_path],
+        check=True, cwd=os.path.join(REPO, "tools"))
+
+    # 2) synthetic pair with known constant disparity (left[x]=right[x-s])
+    rng = np.random.default_rng(3)
+    img = (rng.random((args.height, args.width, 3)) * 255).astype(np.uint8)
+    right_img = np.roll(img, -args.shift, axis=1)
+    left_p = os.path.join(args.workdir, "l.png")
+    right_p = os.path.join(args.workdir, "r.png")
+    cv2.imwrite(left_p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(right_p, cv2.cvtColor(right_img, cv2.COLOR_RGB2BGR))
+
+    # 3) C++ serving run: 2 outputs + steady-state loop
+    out_png = os.path.join(args.workdir, "disp.png")
+    conf_png = os.path.join(args.workdir, "conf.png")
+    cmd = [args.infer_bin, "--model", model_path + ".stablehlo.mlir",
+           "--plugin", args.plugin, "--left", left_p, "--right", right_p,
+           "--out", out_png, "--conf_out", conf_png,
+           "--conf_threshold", str(args.conf_threshold),
+           "--frames", str(args.frames), "--warmup", str(args.warmup),
+           "--height", str(args.height), "--width", str(args.width)]
+    cmd += axon_plugin_options()
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=axon_env(), capture_output=True,
+                          text=True, timeout=2400)
+    wall_s = time.time() - t0
+    print(proc.stdout)
+    if proc.returncode != 0:
+        print(proc.stderr, file=sys.stderr)
+        return 1
+    timing = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # 4) Python golden of BOTH outputs through the identical pipeline
+    exported = jax.export.deserialize(
+        open(model_path + ".jax_export.bin", "rb").read())
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def prep(im):
+        return ((im.astype(np.float32) / 255.0 - mean) / std)[None]
+
+    disp_py, conf_py = exported.call(jnp.asarray(prep(img)),
+                                     jnp.asarray(prep(right_img)))
+    disp_py = np.asarray(disp_py).reshape(args.height, args.width)
+    conf_py = np.asarray(conf_py).reshape(args.height, args.width)
+
+    med = cv2.medianBlur(disp_py.astype(np.float32), 5)
+    valid = (med > 0) & (med < 192) & (conf_py >= args.conf_threshold)
+    expect_disp = (np.minimum(med * 256.0, 65535.0)).astype(np.uint16) * valid
+    expect_conf = (np.clip(conf_py, 0, 1) * 65535.0).astype(np.uint16)
+
+    got_disp = cv2.imread(out_png, cv2.IMREAD_UNCHANGED)
+    got_conf = cv2.imread(conf_png, cv2.IMREAD_UNCHANGED)
+    ddiff = np.abs(expect_disp.astype(np.int64) - got_disp.astype(np.int64))
+    cdiff = np.abs(expect_conf.astype(np.int64) - got_conf.astype(np.int64))
+    # mask flips: pixels where TPU-vs-CPU fp32 moves conf across the
+    # threshold zero one side only — excluded from the bulk disparity
+    # bound, counted separately
+    flip = (got_disp == 0) != (expect_disp == 0)
+
+    # 5) conf-thresholded eval vs the known constant-disparity GT
+    gt_png = os.path.join(args.workdir, "gt.png")
+    gt = np.full((args.height, args.width), args.shift * 256, np.uint16)
+    cv2.imwrite(gt_png, gt)
+    eval_out = subprocess.run(
+        [args.eval_bin, "--est", out_png, "--gt", gt_png,
+         "--conf", conf_png, "--conf_threshold", str(args.conf_threshold)],
+        check=True, capture_output=True, text=True).stdout
+    print(eval_out)
+
+    result = {
+        "ok": bool(ddiff[~flip].mean() <= 64
+                   and (ddiff[~flip] > 256).mean() <= 0.02
+                   and flip.mean() <= 0.05
+                   and cdiff.mean() <= 655),      # 1% of the conf scale
+        "plugin": args.plugin,
+        "model_shape": [args.height, args.width],
+        "conf_threshold": args.conf_threshold,
+        "disp_uint16_mean_diff": float(ddiff[~flip].mean()),
+        "disp_frac_over_1px": float((ddiff[~flip] > 256).mean()),
+        "mask_flip_frac": float(flip.mean()),
+        "conf_uint16_mean_diff": float(cdiff.mean()),
+        "conf_uint16_max_diff": int(cdiff.max()),
+        "masked_pixels_frac": float((got_disp == 0).mean()),
+        "timing": timing,
+        "eval_conf_stdout": eval_out.strip().splitlines(),
+        "wall_seconds": round(wall_s, 1),
+    }
+    with open(args.out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--cv_scale", default="16")
     p.add_argument("--backbone", default="mobilenetv2_100")
     p.add_argument("--cv", default="norm_correlation")
+    p.add_argument("--frames", type=int, default=0,
+                   help="N>0: steady-state timing loop (stereo_infer "
+                        "--frames); per-frame stats land in the artifact")
+    p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--workdir", default="/tmp/pjrt_e2e")
     p.add_argument("--infer_bin",
                    default=os.path.join(REPO, "serving/build/stereo_infer"))
@@ -104,7 +108,10 @@ def main() -> int:
     cmd = [args.infer_bin, "--model", model_path + ".stablehlo.mlir",
            "--plugin", args.plugin, "--left", left_p, "--right", right_p,
            "--out", out_png, "--height", str(args.height),
-           "--width", str(args.width)] + axon_plugin_options()
+           "--width", str(args.width)]
+    if args.frames > 0:
+        cmd += ["--frames", str(args.frames), "--warmup", str(args.warmup)]
+    cmd += axon_plugin_options()
     t0 = time.time()
     proc = subprocess.run(cmd, env=axon_env(), capture_output=True,
                           text=True, timeout=1800)
@@ -148,6 +155,8 @@ def main() -> int:
         "wall_seconds": round(wall_s, 1),
         "stdout_tail": proc.stdout.strip().splitlines()[-4:],
     }
+    if args.frames > 0:
+        result["timing"] = json.loads(proc.stdout.strip().splitlines()[-1])
     with open(args.out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
