@@ -116,6 +116,7 @@ def main() -> None:
                             defaults.fuse_volume_agg),
         fuse_backbone_head=_sw("BENCH_FUSE_HEAD",
                                defaults.fuse_backbone_head),
+        volume_int8=_sw("BENCH_VOLUME_INT8", defaults.volume_int8),
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
     model = ESMStereo(config=cfg)
     import sys
@@ -123,6 +124,7 @@ def main() -> None:
           f"fuse_agg_stem={cfg.fuse_agg_stem} "
           f"fuse_volume_agg={cfg.fuse_volume_agg} "
           f"fuse_backbone_head={cfg.fuse_backbone_head} "
+          f"volume_int8={cfg.volume_int8} "
           f"dtype={DTYPE} fast_gelu={FAST_GELU} "
           f"const_weights={CONST_WEIGHTS}", file=sys.stderr)
 

@@ -193,8 +193,13 @@ class PhConfUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, feat: Array, init_conf: Array,
-                 *, train: bool = False) -> Array:
+                 *, train: bool = False, capture: dict | None = None,
+                 tag: str = "") -> Array:
         from esmstereo_tpu.models.phased_upsample import PhConvBlock
+
+        def _cap(name, value):
+            if capture is not None:
+                capture[f"{tag}{name}"] = value
 
         c = self.channels
         x = init_conf
@@ -207,6 +212,7 @@ class PhConfUpsample(nn.Module):
             jnp.concatenate([f, feat], axis=-1), train=train)
         fused = TorchConv(c, 3, 1, 1, dtype=self.dtype, name="spx4_1")(fused)
         fused = jax.nn.relu(_bn(train, self.dtype, "spx4_bn")(fused))
+        _cap("fused", fused)
 
         # spx ConvTranspose(k4 s4 p0): out[4i+qy, 4j+qx] = W[qy,qx] @ in[i,j]
         # — a pure per-phase 1x1 conv on the base grid.
@@ -227,6 +233,7 @@ class PhConfUpsample(nn.Module):
         taps = ops.unfold3x3(init_conf)                      # (B, h, w, 9)
         conf1_ph = jnp.sum(sfm * taps[..., None, :].astype(sfm.dtype),
                            axis=-1)                          # (B, h, w, 16)
+        _cap("conf1", conf1_ph)
 
         conf = PhConvBlock(c, 1, 3, 1, 4, 4, dtype=self.dtype,
                            name="conv1")(conf1_ph, train=train)
@@ -334,13 +341,13 @@ class LAFNetHead(nn.Module):
         if self.phase_up and not train:
             from esmstereo_tpu.nn.phasefold import from_phases
             out4_ph = PhConfUpsample(c, dtype=self.dtype, name="conf_up4")(
-                f1, out, train=train)
+                f1, out, train=train, capture=capture, tag="up4_")
             # 1-channel fine tensor: cheap relayout into conf_up1's coarse
             # section (cm stack at 1/4), like the disparity residual stream.
             out4 = from_phases(out4_ph, 4)
             _cap("out4", out4)
             out1_ph = PhConfUpsample(c, dtype=self.dtype, name="conf_up1")(
-                f2, out4, train=train)
+                f2, out4, train=train, capture=capture, tag="up1_")
             return jax.nn.sigmoid(from_phases(out1_ph, 4))
         out4 = ConfUpsample(c, dtype=self.dtype, name="conf_up4")(
             f1, out, train=train)

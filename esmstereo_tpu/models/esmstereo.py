@@ -127,6 +127,17 @@ class ESMStereoConfig:
     # losing more than the saved volume write+read (~0.25 ms). Kept as
     # tested groundwork like fuse_stems.
     fuse_volume_agg: bool = False
+    # EXPERIMENT (round 4, the int8 descriptor/volume traffic lever named
+    # in round 1): store the folded cost volume in HBM as int8 between
+    # the correlation kernel and the stem+agg kernel. Per-frame symmetric
+    # scale from the volume's own max; the dequant rides for free in the
+    # stem conv weights (prepare_consts input_scale). Requires
+    # fuse_agg_stem + the staged (not fuse_volume_agg) path; eval only.
+    # Saves half the volume's HBM bytes (~50 MB at 544x960 L bf16
+    # ≈ 0.06 ms at roofline) at the cost of an extra max+quantize pass —
+    # see BASELINE.md for the measured A/B and the accuracy bound
+    # (tests/test_fused_agg_stem.py::test_int8_volume_accuracy).
+    volume_int8: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,
     # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
     # shuffle-up as one Pallas kernel (attic/fused_mixer.py). The
@@ -649,10 +660,21 @@ class ESMStereo(nn.Module):
                 p1, s1 = FoldedConvParams((3, 3, 3, stem_ci, red),
                                           name=stem_name)()
                 p2, s2 = FoldedConvParams((3, 3, 3, red, red), name="agg")()
+                use_i8 = cfg.volume_int8 and not fuse_vol
+                in_scale = None
+                if use_i8:
+                    # symmetric per-frame quantization; the dequant scale
+                    # folds into the stem conv weights (linear)
+                    vf = volume.astype(jnp.float32)
+                    vmax = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-12)
+                    volume = jnp.clip(jnp.round(vf * (127.0 / vmax)),
+                                      -127.0, 127.0).astype(jnp.int8)
+                    in_scale = vmax / 127.0
                 consts = _fas.prepare_consts(
                     p1["conv"]["Conv_0"]["kernel"], (p1["bn"], s1["bn"]),
                     p2["conv"]["Conv_0"]["kernel"], (p2["bn"], s2["bn"]),
-                    depth=num_bins, gelu_approximate=GELU_APPROXIMATE)
+                    depth=num_bins, gelu_approximate=GELU_APPROXIMATE,
+                    input_scale=in_scale)
                 if fuse_vol:
                     volume = _fas.folded_volume_stem_agg_apply(
                         match_l, match_r, consts, num_groups=stem_ci,
@@ -661,7 +683,10 @@ class ESMStereo(nn.Module):
                         interpret=_plmod.force_interpret())
                 else:
                     volume = _fas.folded_stem_agg_apply(
-                        volume.astype(dtype or volume.dtype), consts,
+                        volume if use_i8
+                        else volume.astype(dtype or volume.dtype), consts,
+                        out_dtype=(dtype or jnp.float32) if use_i8
+                        else None,
                         interpret=_plmod.force_interpret())
             else:
                 volume = FoldedConvBlock3D(red, stem_ci, num_bins, 3, 1, 1,

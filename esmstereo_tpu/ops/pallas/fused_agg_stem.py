@@ -66,15 +66,24 @@ def _blocks(d: int, ci: int, co: int) -> list[tuple[int, int, int, int]]:
 
 
 def prepare_consts(k1: Array, bn1: tuple, k2: Array, bn2: tuple, *,
-                   depth: int, gelu_approximate: bool) -> dict:
+                   depth: int, gelu_approximate: bool,
+                   input_scale: Array | float | None = None) -> dict:
     """Fold the two (3,3,3,ci,co) kernels + eval BN params into per-block
-    banded matmul weights. ``bn1``/``bn2`` are (params, stats) dicts."""
+    banded matmul weights. ``bn1``/``bn2`` are (params, stats) dicts.
+
+    ``input_scale``: dequantization scale of a quantized volume (the
+    int8-volume experiment): conv1 is linear, so ``conv(s*q) == s*conv(q)``
+    folds the scale into the first kernel for free. May be a traced
+    scalar (per-frame dynamic scale).
+    """
     d = depth
     consts: dict[str, Any] = {"d": d, "gelu_approximate": gelu_approximate}
     band, _ = conv_band_matrix(3, d, 1, 1)  # (3, d, d) indicator
 
     for li, (k, bn) in enumerate(((k1, bn1), (k2, bn2))):
         k = k.astype(jnp.float32)
+        if li == 0 and input_scale is not None:
+            k = k * input_scale
         _, _, _, ci, co = k.shape
         inv, off = _fold_bn(*bn)
         blocks = _blocks(d, ci, co)
@@ -151,16 +160,20 @@ def _make_banded_conv(w: int, mm_dt, approx: bool, interpret: bool):
 
 
 def folded_stem_agg_apply(vol: Array, consts: dict, *,
+                          out_dtype=None,
                           interpret: bool = False) -> Array:
     """Apply group_stem + agg to the folded volume ``(B, H, W, D*ci)``;
-    returns ``(B, H, W, D*co)`` in the volume's dtype."""
+    returns ``(B, H, W, D*co)`` in the volume's dtype (or ``out_dtype``
+    — required for quantized int8 volumes, whose dequant scale rides in
+    the conv1 weights via ``prepare_consts(input_scale=...)``)."""
     b, h, w, lc = vol.shape
     d = consts["d"]
     ci0, co0 = consts["ci0"], consts["co0"]
     ci1, co1 = consts["ci1"], consts["co1"]
     assert lc == d * ci0, (vol.shape, d, ci0)
     approx = consts["gelu_approximate"]
-    out_dtype = vol.dtype
+    out_dtype = out_dtype or vol.dtype
+    assert jnp.dtype(out_dtype).kind == "f", out_dtype
     mm_dt = jnp.float32 if interpret else jnp.bfloat16
 
     # Mosaic requires 8-aligned sublane (width) shapes; non-aligned grids
@@ -169,12 +182,16 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
     # cols < w), and conv1's outputs at cols >= w_true (BN offset, not 0)
     # are masked before conv2 exactly like the row halo below.
     w_true = w
-    w = -(-w // 8) * 8
+    itemsize = jnp.dtype(vol.dtype).itemsize
+    # Mosaic sublane tiling is (8,128) fp32 / (16,128) bf16 / (32,128)
+    # int8; 8 is proven sufficient for the float dtypes, int8 gets the
+    # full tile.
+    align = 32 if itemsize == 1 else 8
+    w = -(-w // align) * align
     if w != w_true:
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, w - w_true), (0, 0)))
 
     # row-block size: divisor of h with the volume window under ~16 MB
-    itemsize = jnp.dtype(vol.dtype).itemsize
     budget = 16 * 1024 * 1024
     th = 1
     for cand in range(h, 0, -1):

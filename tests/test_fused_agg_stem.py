@@ -121,3 +121,54 @@ def test_volume_fused_kernel_unaligned_width(rng):
         ref, tgt, consts, num_groups=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_int8_volume_accuracy(rng):
+    """int8-quantized volume (per-frame symmetric scale, dequant folded
+    into conv1's weights) vs the float path: bounded deviation through
+    stem+agg. The experiment's accuracy bound (see ESMStereoConfig
+    .volume_int8 and BASELINE.md)."""
+    ci, depth, h, w = 32, 16, 8, 16
+    vol = jnp.asarray(rng.standard_normal((1, h, w, depth * ci)),
+                      jnp.float32)
+    pair = _Pair(ci=ci, depth=depth)
+    v = pair.init(jax.random.key(0), vol, train=False)
+    want = pair.apply(v, vol, train=False)
+    p, s = v["params"], v["batch_stats"]
+    args = (p["group_stem"]["conv"]["Conv_0"]["kernel"],
+            (p["group_stem"]["bn"], s["group_stem"]["bn"]),
+            p["agg"]["conv"]["Conv_0"]["kernel"],
+            (p["agg"]["bn"], s["agg"]["bn"]))
+
+    vmax = jnp.max(jnp.abs(vol))
+    q = jnp.clip(jnp.round(vol * (127.0 / vmax)), -127, 127).astype(jnp.int8)
+    consts = fas.prepare_consts(*args, depth=depth, gelu_approximate=False,
+                                input_scale=vmax / 127.0)
+    got = fas.folded_stem_agg_apply(q, consts, out_dtype=jnp.float32,
+                                    interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = float(np.abs(np.asarray(want)).mean())
+    assert err.max() < 0.15 * scale + 0.05, (err.max(), scale)
+    assert err.mean() < 0.02 * scale + 0.01, (err.mean(), scale)
+
+
+def test_int8_volume_full_model(rng):
+    """volume_int8 through the real model wiring (interpret-mode kernels
+    on CPU): disparity deviates from the float fast path by < 1 px bulk."""
+    from esmstereo_tpu.models import ESMStereo, ESMStereoConfig
+    from esmstereo_tpu.ops import pallas as plmod
+
+    base = dict(cv_scale=4, backbone="mobilenetv2_100", cost_volume="gwc")
+    m_f = ESMStereo(config=ESMStereoConfig(**base))
+    m_q = ESMStereo(config=ESMStereoConfig(volume_int8=True, **base))
+    left = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, 64, 96, 3)), jnp.float32)
+    v = m_f.init(jax.random.key(0), left, right, train=False)
+    plmod.set_force_interpret(True)
+    try:
+        d_f = np.asarray(m_f.apply(v, left, right, train=False)[0])
+        d_q = np.asarray(m_q.apply(v, left, right, train=False)[0])
+    finally:
+        plmod.set_force_interpret(False)
+    diff = np.abs(d_f - d_q)
+    assert float(np.quantile(diff, 0.95)) < 1.0, np.quantile(diff, 0.95)

@@ -143,7 +143,8 @@ def main() -> None:
             from esmstereo_tpu.models.confidence import ESMStereoConfidence
             model = ESMStereoConfidence(config=cfg)
             anchors = ("f16", "match_left", "cost", "init_pred", "disp",
-                       "topv", "embed1", "embed2", "fusion", "out4", "full")
+                       "topv", "embed1", "embed2", "fusion", "out4",
+                       "up1_fused", "up1_conf1", "full")
         else:
             from esmstereo_tpu.models import ESMStereo
             model = ESMStereo(config=cfg)
