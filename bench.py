@@ -117,6 +117,7 @@ def main() -> None:
         fuse_backbone_head=_sw("BENCH_FUSE_HEAD",
                                defaults.fuse_backbone_head),
         volume_int8=_sw("BENCH_VOLUME_INT8", defaults.volume_int8),
+        fuse_hourglass=_sw("BENCH_FUSE_HOURGLASS", defaults.fuse_hourglass),
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
     model = ESMStereo(config=cfg)
     import sys
@@ -125,6 +126,7 @@ def main() -> None:
           f"fuse_volume_agg={cfg.fuse_volume_agg} "
           f"fuse_backbone_head={cfg.fuse_backbone_head} "
           f"volume_int8={cfg.volume_int8} "
+          f"fuse_hourglass={cfg.fuse_hourglass} "
           f"dtype={DTYPE} fast_gelu={FAST_GELU} "
           f"const_weights={CONST_WEIGHTS}", file=sys.stderr)
 

@@ -138,6 +138,12 @@ class ESMStereoConfig:
     # see BASELINE.md for the measured A/B and the accuracy bound
     # (tests/test_fused_agg_stem.py::test_int8_volume_accuracy).
     volume_int8: bool = False
+    # Run each aggregation-hourglass down-level (stride-2, stride-1)
+    # conv pair as one Pallas kernel (ops.pallas.fused_hourglass) — the
+    # stem-kernel re-read fix applied to the hourglass's biggest convs.
+    # OFF by default pending the on-hardware interleaved A/B (round 4);
+    # see BASELINE.md for the measurement.
+    fuse_hourglass: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,
     # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
     # shuffle-up as one Pallas kernel (attic/fused_mixer.py). The
@@ -699,6 +705,7 @@ class ESMStereo(nn.Module):
                     volume, train=train)
             cost_folded = FoldedAggregation3D(
                 red, add_channel, num_bins, dtype=dtype,
+                fuse_pairs=cfg.fuse_hourglass,
                 name="aggregation_out")(volume, train=train)
             cost = jnp.moveaxis(cost_folded, -1, 1)  # (B, D, H/v, W/v)
         else:

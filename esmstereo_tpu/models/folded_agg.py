@@ -43,6 +43,11 @@ class FoldedAggregation3D(nn.Module):
     in_channels: int
     add_channel: int
     depth: int
+    # Run each down-level (stride-2, stride-1) conv pair as ONE Pallas
+    # kernel (ops.pallas.fused_hourglass) on accelerator backends in eval
+    # mode — the stem-kernel re-read fix applied to the hourglass's
+    # biggest convs. Param-tree compatible with the plain path.
+    fuse_pairs: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -66,16 +71,55 @@ class FoldedAggregation3D(nn.Module):
         d2 = (d1 + 1) // 2
         d3 = (d2 + 1) // 2
 
-        conv1 = block(c1, cin, d0, 3, 2, 1, "conv1_0")(x, train=train)
-        h1, w1 = conv1.shape[1], conv1.shape[2]
-        conv1 = block(c1, c1, d1, 3, 1, 1, "conv1_1")(conv1, train=train)
+        from esmstereo_tpu.ops import pallas as _plmod
+        use_fp = (self.fuse_pairs and not train
+                  and not self.is_initializing() and _plmod.accel_ok()
+                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_fp:
+            from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
+            from esmstereo_tpu.nn.folded3d import FoldedConvParams
+            from esmstereo_tpu.ops.pallas import fused_hourglass as _fhg
 
-        conv2 = block(c2, c1, d1, 3, 2, 1, "conv2_0")(conv1, train=train)
-        h2, w2 = conv2.shape[1], conv2.shape[2]
-        conv2 = block(c2, c2, d2, 3, 1, 1, "conv2_1")(conv2, train=train)
+            def down_pair(feat, cin_, co_, d_, n0, n1):
+                p0, s0 = FoldedConvParams((3, 3, 3, cin_, co_), name=n0)()
+                p1, s1 = FoldedConvParams((3, 3, 3, co_, co_), name=n1)()
+                consts = _fhg.prepare_pair_consts(
+                    p0["conv"]["Conv_0"]["kernel"], (p0["bn"], s0["bn"]),
+                    p1["conv"]["Conv_0"]["kernel"], (p1["bn"], s1["bn"]),
+                    depth=d_, gelu_approximate=GELU_APPROXIMATE)
+                dt = self.dtype or feat.dtype
+                return _fhg.fused_down_pair_apply(
+                    feat.astype(dt), consts,
+                    interpret=_plmod.force_interpret())
 
-        conv3 = block(c3, c2, d2, 3, 2, 1, "conv3_0")(conv2, train=train)
-        conv3 = block(c3, c3, d3, 3, 1, 1, "conv3_1")(conv3, train=train)
+            conv1 = down_pair(x, cin, c1, d0, "conv1_0", "conv1_1")
+            h1, w1 = conv1.shape[1], conv1.shape[2]
+            if conv1.shape[1] % 2 == 0 and conv1.shape[2] % 2 == 0:
+                conv2 = down_pair(conv1, c1, c2, d1, "conv2_0", "conv2_1")
+            else:
+                conv2 = block(c2, c1, d1, 3, 2, 1, "conv2_0")(
+                    conv1, train=train)
+                conv2 = block(c2, c2, d2, 3, 1, 1, "conv2_1")(
+                    conv2, train=train)
+            h2, w2 = conv2.shape[1], conv2.shape[2]
+            if conv2.shape[1] % 2 == 0 and conv2.shape[2] % 2 == 0:
+                conv3 = down_pair(conv2, c2, c3, d2, "conv3_0", "conv3_1")
+            else:
+                conv3 = block(c3, c2, d2, 3, 2, 1, "conv3_0")(
+                    conv2, train=train)
+                conv3 = block(c3, c3, d3, 3, 1, 1, "conv3_1")(
+                    conv3, train=train)
+        else:
+            conv1 = block(c1, cin, d0, 3, 2, 1, "conv1_0")(x, train=train)
+            h1, w1 = conv1.shape[1], conv1.shape[2]
+            conv1 = block(c1, c1, d1, 3, 1, 1, "conv1_1")(conv1, train=train)
+
+            conv2 = block(c2, c1, d1, 3, 2, 1, "conv2_0")(conv1, train=train)
+            h2, w2 = conv2.shape[1], conv2.shape[2]
+            conv2 = block(c2, c2, d2, 3, 1, 1, "conv2_1")(conv2, train=train)
+
+            conv3 = block(c3, c2, d2, 3, 2, 1, "conv3_0")(conv2, train=train)
+            conv3 = block(c3, c3, d3, 3, 1, 1, "conv3_1")(conv3, train=train)
 
         up3 = block(c2, c3, d3, 4, 2, 1, "conv3_up", deconv=True)(
             conv3, train=train)
