@@ -1,14 +1,15 @@
-"""Interleaved A/B of int8 cost-volume storage on the attached TPU.
+"""Interleaved A/B of a boolean ESMStereoConfig flag on the attached TPU.
 
-Builds the full model twice with SHARED parameters — ``volume_int8`` off
-(A) vs on (B) — and alternates chained-scan measurements A,B,A,B in one
+Builds the full model twice with SHARED parameters — ``--flag`` off (A)
+vs on (B) — and alternates chained-scan measurements A,B,A,B in one
 session (session-to-session spread on the tunneled chip is ~5-10%; only
 interleaved same-session numbers are comparable — BASELINE.md harness
-note). Also prints the max |disparity| deviation between the two paths
-(the accuracy cost of the 8-bit volume).
+note). Also prints the disparity deviation between the two paths (the
+accuracy cost, e.g. of the int8 volume; exact fast paths show ~0).
 
-Usage: python tools/int8_ab.py [--variant L|M] [--dtype bfloat16]
-       [--no-fast_gelu] [--const_weights]
+Usage: python tools/config_ab.py --flag volume_int8|fuse_hourglass|...
+       [--variant L|M] [--dtype bfloat16] [--no-fast_gelu]
+       [--const_weights]
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ VARIANTS = {
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--flag", default="volume_int8",
+                   help="boolean ESMStereoConfig field to A/B")
     p.add_argument("--variant", default="L", choices=sorted(VARIANTS))
     p.add_argument("--height", type=int, default=544)
     p.add_argument("--width", type=int, default=960)
@@ -69,13 +72,14 @@ def main() -> None:
     right = jax.device_put(np.asarray(rng.standard_normal(shape), np.float32))
 
     base = dict(dtype=dt, **VARIANTS[args.variant])
+    assert hasattr(ESMStereoConfig(), args.flag), args.flag
     models = {
-        "float": ESMStereo(config=ESMStereoConfig(**base)),
-        "int8": ESMStereo(config=ESMStereoConfig(volume_int8=True, **base)),
+        "off": ESMStereo(config=ESMStereoConfig(**base)),
+        "on": ESMStereo(config=ESMStereoConfig(**{args.flag: True}, **base)),
     }
     variables = jax.jit(
-        lambda l, r: models["float"].init(jax.random.key(0), l, r,
-                                          train=False))(left, right)
+        lambda l, r: models["off"].init(jax.random.key(0), l, r,
+                                        train=False))(left, right)
 
     fns = {}
     for name, model in models.items():
@@ -83,15 +87,16 @@ def main() -> None:
             return _m.apply(v, l, r, train=False)[0]
         fns[name] = apply_fn
 
-    # accuracy cost of the 8-bit volume on this input
-    d_f = np.asarray(jax.jit(fns["float"])(variables, left, right))
-    d_q = np.asarray(jax.jit(fns["int8"])(variables, left, right))
+    # accuracy cost of the flag on this input (0 for exact fast paths)
+    d_f = np.asarray(jax.jit(fns["off"])(variables, left, right))
+    d_q = np.asarray(jax.jit(fns["on"])(variables, left, right))
     diff = np.abs(d_f - d_q)
-    print(json.dumps({"disp_dev_q95": float(np.quantile(diff, 0.95)),
+    print(json.dumps({"flag": args.flag,
+                      "disp_dev_q95": float(np.quantile(diff, 0.95)),
                       "disp_dev_max": float(diff.max())}), flush=True)
 
     for rnd in range(args.rounds):
-        for name in ("float", "int8"):
+        for name in ("off", "on"):
             if args.const_weights:
                 from tools.stage_profile import chained_time_ms
                 fn = fns[name]
@@ -101,7 +106,7 @@ def main() -> None:
             else:
                 ms = chained_scan_time_ms(fns[name], variables, left, right,
                                           reps=args.reps)
-            print(json.dumps({"round": rnd, "config": name,
+            print(json.dumps({"round": rnd, "config": f"{args.flag}={name}",
                               "weights": ("const" if args.const_weights
                                           else "args"),
                               "ms": round(ms, 3)}), flush=True)
