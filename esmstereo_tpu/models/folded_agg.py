@@ -121,26 +121,53 @@ class FoldedAggregation3D(nn.Module):
             conv3 = block(c3, c2, d2, 3, 2, 1, "conv3_0")(conv2, train=train)
             conv3 = block(c3, c3, d3, 3, 1, 1, "conv3_1")(conv3, train=train)
 
-        up3 = block(c2, c3, d3, 4, 2, 1, "conv3_up", deconv=True)(
-            conv3, train=train)
-        up3 = _crop_folded(up3, h2, w2, d2, c2)
-        # plain lane concat; the depth-interleave is folded into the
-        # 1x1x1 conv's (block-diagonal) channel matrix — a runtime
-        # lane-splitting reshape would cost a relayout copy per call
-        conv2 = jnp.concatenate([up3, conv2], axis=-1)
-        conv2 = block(c2, 2 * c2, d2, 1, 1, 0, "agg_0_0", depth_block=None,
-                      in_perm=interleave_indices(d2, [c2, c2]))(
-            conv2, train=train)
-        conv2 = block(c2, c2, d2, 3, 1, 1, "agg_0_1")(conv2, train=train)
+        def up_level_plain(src, skip, ci_u, co_, d_s_, d2_, hw, names):
+            n_up, n_cat, n_c3 = names
+            up = block(co_, ci_u, d_s_, 4, 2, 1, n_up, deconv=True)(
+                src, train=train)
+            up = _crop_folded(up, hw[0], hw[1], d2_, co_)
+            # plain lane concat; the depth-interleave is folded into the
+            # 1x1x1 conv's (block-diagonal) channel matrix — a runtime
+            # lane-splitting reshape would cost a relayout copy per call
+            cat = jnp.concatenate([up, skip], axis=-1)
+            cat = block(co_, 2 * co_, d2_, 1, 1, 0, n_cat,
+                        depth_block=None,
+                        in_perm=interleave_indices(d2_, [co_, co_]))(
+                cat, train=train)
+            return block(co_, co_, d2_, 3, 1, 1, n_c3)(cat, train=train)
 
-        up2 = block(c1, c2, d2, 4, 2, 1, "conv2_up", deconv=True)(
-            conv2, train=train)
-        up2 = _crop_folded(up2, h1, w1, d1, c1)
-        conv1 = jnp.concatenate([up2, conv1], axis=-1)
-        conv1 = block(c1, 2 * c1, d1, 1, 1, 0, "agg_1_0", depth_block=None,
-                      in_perm=interleave_indices(d1, [c1, c1]))(
-            conv1, train=train)
-        conv1 = block(c1, c1, d1, 3, 1, 1, "agg_1_1")(conv1, train=train)
+        def up_level(src, skip, ci_u, co_, d_s_, d2_, hw, names):
+            h2_, w2_ = skip.shape[1], skip.shape[2]
+            if not (use_fp and h2_ % 2 == 0 and w2_ == 2 * src.shape[2]
+                    and h2_ <= 2 * src.shape[1]):
+                return up_level_plain(src, skip, ci_u, co_, d_s_, d2_,
+                                      hw, names)
+            from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
+            from esmstereo_tpu.nn.folded3d import FoldedConvParams
+            from esmstereo_tpu.ops.pallas import fused_hourglass as _fhg
+
+            n_up, n_cat, n_c3 = names
+            pu, su = FoldedConvParams((4, 4, 4, ci_u, co_), deconv=True,
+                                      name=n_up)()
+            pc, sc = FoldedConvParams((1, 1, 1, 2 * co_, co_),
+                                      name=n_cat)()
+            p3, s3 = FoldedConvParams((3, 3, 3, co_, co_), name=n_c3)()
+            consts = _fhg.prepare_up_consts(
+                pu["conv"]["kernel"], (pu["bn"], su["bn"]),
+                pc["conv"]["Conv_0"]["kernel"], (pc["bn"], sc["bn"]),
+                p3["conv"]["Conv_0"]["kernel"], (p3["bn"], s3["bn"]),
+                depth_in=d_s_, depth_out=d2_,
+                in_perm=interleave_indices(d2_, [co_, co_]),
+                gelu_approximate=GELU_APPROXIMATE)
+            dt = self.dtype or skip.dtype
+            return _fhg.fused_up_pair_apply(
+                src.astype(dt), skip.astype(dt), consts,
+                interpret=_plmod.force_interpret())
+
+        conv2 = up_level(conv3, conv2, c3, c2, d3, d2, (h2, w2),
+                         ("conv3_up", "agg_0_0", "agg_0_1"))
+        conv1 = up_level(conv2, conv1, c2, c1, d2, d1, (h1, w1),
+                         ("conv2_up", "agg_1_0", "agg_1_1"))
 
         return block(1, c1, d1, 4, 2, 1, "conv1_up", deconv=True, bn=False,
                      act=None)(conv1, train=train)

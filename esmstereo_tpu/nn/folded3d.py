@@ -256,12 +256,26 @@ class FoldedConvParams(nn.Module):
     the raw parameter values (ops.pallas.fused_agg_stem)."""
 
     shape: Sequence[int]        # (kd, kh, kw, ci, co)
+    deconv: bool = False        # ConvTranspose3d layout: conv/kernel
+    #                             (no Conv_0 child) + torch deconv init
 
     @nn.compact
     def __call__(self):
         from esmstereo_tpu.backbones.fused import _BNParams, _ConvParams
 
         co = self.shape[-1]
+        if self.deconv:
+            k = self.shape[0]
+            fan_in = co * k ** 3
+            bound = float(1.0 / np.sqrt(fan_in))
+
+            def kinit(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            conv = {"kernel": _ParamLeaf(tuple(self.shape), kinit,
+                                         name="conv")()}
+            bn_p, bn_s = _BNParams(co, name="bn")()
+            return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
         conv = {"Conv_0": _ConvParams(tuple(self.shape), bias=False,
                                       init="torch", name="conv")()}
         bn_p, bn_s = _BNParams(co, name="bn")()

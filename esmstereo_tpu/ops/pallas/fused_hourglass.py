@@ -156,19 +156,26 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
     wo = -(-wo // 8) * 8
     if wo != wo_true:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wo - wo_true), (0, 0)))
+    # even row count keeps the clamped-DMA offsets parity-stable (the
+    # padded row is masked like any out-of-image row)
+    h_pad = h + (h % 2)
+    if h_pad != h:
+        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
-    # Output row tile th (divisor of ho); the window holds input rows
-    # [2*r0-4, 2*r0-4+ld) with ld = 2*th+6 (even start keeps row parity
-    # static). VMEM budget like the stem kernel.
+    # Output row tile th (divisor of ho). The scratch window's origin is
+    # global row 2*r0 - 8 (even, 4 rows of slack below the needed
+    # [2*r0-4, 2*r0+2*th+2) range) so every clamped DMA destination
+    # offset stays in [0, 8] and even — the same slack scheme as the
+    # stem kernel. VMEM budget like the stem kernel.
     itemsize = jnp.dtype(x.dtype).itemsize
     budget = 16 * 1024 * 1024
     th = 1
     for cand in range(ho, 0, -1):
-        if ho % cand == 0 and (2 * cand + 6) * wo * 2 * lc * itemsize \
+        if ho % cand == 0 and (2 * cand + 14) * wo * 2 * lc * itemsize \
                 <= budget:
             th = cand
             break
-    ld = min(2 * th + 6, h)
+    ld = min(2 * th + 6, h_pad)
 
     n_cur = len(consts["cur_a"])
     n_wb = len(consts["w_b"])
@@ -188,11 +195,12 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
         ti = pl.program_id(1)
         r0 = ti * th                       # first OUTPUT row of the tile
 
-        # global input row g lands at window index g - ws, ws = 2*r0 - 4
-        # (even). Clamped DMA; out-of-image rows masked below.
-        ws = 2 * r0 - 4
-        src = jnp.clip(ws, 0, h - ld)
-        dst = src - ws
+        # global input row g lands at window index g - origin,
+        # origin = 2*r0 - 8 (even). Clamped DMA with 4 rows of slack on
+        # each side; out-of-image rows masked below.
+        origin = 2 * r0 - 8
+        src = jnp.clip(2 * r0 - 4, 0, h_pad - ld)
+        dst = src - origin
         cp = pltpu.make_async_copy(
             x_ref.at[bi, pl.ds(src, ld)], win.at[pl.ds(dst, ld)], sem)
         cp.start()
@@ -200,13 +208,14 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
 
         xw = win[...].astype(jnp.float32)
         rg = jax.lax.broadcasted_iota(
-            jnp.int32, (2 * th + 6, 1, 1), 0) + ws
+            jnp.int32, (2 * th + 14, 1, 1), 0) + origin
         xw = jnp.where((rg >= 0) & (rg < h), xw, 0.0)
         if wo != wo_true:
             cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo, 1), 1)
             xw = jnp.where(cg < wo_true, xw, 0.0)
-        # even/odd row planes: window row 2t+par = global row ws + 2t+par
-        xw = xw.reshape(th + 3, 2, wo, 2 * lc)
+        # even/odd row planes: window row 2t+par = global row
+        # origin + 2t+par
+        xw = xw.reshape(th + 7, 2, wo, 2 * lc)
 
         def shift_prev(v):
             # previous column pair (zero at the left edge = conv zero pad)
@@ -215,13 +224,13 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
 
         # --- conv A at output rows r0-1 .. r0+th (th+2 rows) ----------
         # output row r (global) reads input rows 2r-1, 2r, 2r+1; with
-        # t = r - r0 in [-1, th]:
-        #   row 2r-1 = odd plane index t+1, row 2r = even index t+2,
-        #   row 2r+1 = odd index t+2
+        # t = r - r0 in [-1, th] and origin 2*r0 - 8:
+        #   row 2r-1 = odd plane index t+3, row 2r = even index t+4,
+        #   row 2r+1 = odd index t+4
         even = xw[:, 0]
         odd = xw[:, 1]
         rows1 = th + 2
-        taps = (odd[0:rows1], even[1:1 + rows1], odd[1:1 + rows1])
+        taps = (odd[2:2 + rows1], even[3:3 + rows1], odd[3:3 + rows1])
         taps_p = tuple(shift_prev(t) for t in taps)
         outs = []
         for bix, (o0, o1, lo, hi) in enumerate(consts["blocks_a"]):
@@ -278,7 +287,7 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, d1 * co_b), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 6, wo, 2 * lc), x.dtype),
+            pltpu.VMEM((2 * th + 14, wo, 2 * lc), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -290,3 +299,374 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
     if wo != wo_true:
         out = out[:, :, :wo_true]
     return out
+
+
+def prepare_up_consts(k_up: Array, bn_up: tuple, k_cat: Array,
+                      bn_cat: tuple, k_3: Array, bn_3: tuple, *,
+                      depth_in: int, depth_out: int,
+                      in_perm: np.ndarray,
+                      gelu_approximate: bool) -> dict:
+    """Fold the up-level triple into kernel constants.
+
+    ``k_up``: (4,4,4,ci_u,co) ConvTranspose3d k4 s2 p1 weights (torch
+    layout (kd,kh,kw,ci,co) as FoldedConvBlock3D stores them);
+    ``k_cat``: (1,1,1, 2*co, co) the post-concat 1x1x1 conv whose input
+    is the plain lane concat [deconv | skip] viewed through ``in_perm``
+    (the depth-interleave, models/folded_agg.py); ``k_3``: (3,3,3,co,co).
+    ``depth_in``/``depth_out``: deconv input depth and the (cropped)
+    level depth.
+    """
+    d_s, d2 = depth_in, depth_out
+    consts: dict[str, Any] = {"d_s": d_s, "d2": d2,
+                              "gelu_approximate": gelu_approximate}
+
+    # --- deconv: k4 s2 p1, output in paired width/row-parity form -----
+    from esmstereo_tpu.nn.folded3d import deconv_band_matrix
+    band_u, d_full = deconv_band_matrix(4, d_s, 2, 1)
+    band_u = band_u[:, :, :d2]                       # depth crop
+    ku = k_up.astype(jnp.float32)
+    _, _, _, ci_u, co = ku.shape
+    inv_u, off_u = _fold_bn(*bn_up)
+    blocks_u = _blocks_banded(band_u, ci_u, co)
+    # Separable tap structure. Rows: out row 2t (E plane) <- in rows
+    # t (kh=1), t-1 (kh=3); out row 2t+1 (O plane) <- in rows t (kh=2),
+    # t+1 (kh=0). Columns (independent of rows): out col 2j (even half)
+    # <- in cols j (kw=1), j-1 (kw=3); out col 2j+1 (odd half) <- in
+    # cols j (kw=2), j+1 (kw=0). Per block: 4 row taps x 3 column
+    # matrices (cur / prev-pair / next-pair), each (span, 2nb) with the
+    # even|odd output halves side by side.
+    mats_u: list[Array] = []
+    scales_u, offs_u = [], []
+    for (o0, o1, lo, hi) in blocks_u:
+        sub = jnp.asarray(band_u[:, lo:hi, o0:o1], jnp.float32)
+        w = jnp.einsum("kabio,kde->abdieo", ku, sub)
+        w = w.reshape(4, 4, (hi - lo) * ci_u, (o1 - o0) * co)
+        nb = (o1 - o0) * co
+        z = jnp.zeros(((hi - lo) * ci_u, nb), jnp.float32)
+        per_tap = []
+        for kh in (1, 3, 2, 0):          # row taps E0, E-1, O0, O+1
+            cur = jnp.concatenate([w[kh, 1], w[kh, 2]], axis=1)
+            prev = jnp.concatenate([w[kh, 3], z], axis=1)
+            nxt = jnp.concatenate([z, w[kh, 0]], axis=1)
+            per_tap.extend([prev, cur, nxt])
+        # flat tap-major (12, span, 2nb): Mosaic supports only ONE static
+        # index into a loaded ref (see fused_agg_stem)
+        mats_u.append(jnp.stack(per_tap))            # (12, span, 2nb)
+        scales_u.append(jnp.tile(inv_u, o1 - o0))
+        offs_u.append(jnp.tile(off_u, o1 - o0))
+    consts.update(ci_u=int(ci_u), co=int(co), blocks_u=blocks_u,
+                  w_u=mats_u, s_u=scales_u, t_u=offs_u)
+
+    # --- k1 conv on the interleaved concat: split into deconv/skip ----
+    kc = k_cat.astype(jnp.float32)[0, 0, 0]          # (2co... ) folded?
+    assert kc.ndim == 2 and kc.shape[0] == 2 * co, kc.shape
+    inv_c, off_c = _fold_bn(*bn_cat)
+    # logical folded weight: block-diag over depth with rows permuted by
+    # in_perm; scatter rows back to the plain-concat layout and split
+    n_cat = d2 * 2 * co
+    w_log = jnp.zeros((n_cat, d2 * co), jnp.float32)
+    for dd in range(d2):
+        w_log = w_log.at[dd * 2 * co:(dd + 1) * 2 * co,
+                         dd * co:(dd + 1) * co].set(kc)
+    w_scat = jnp.zeros_like(w_log)
+    w_scat = w_scat.at[jnp.asarray(in_perm)].set(w_log)
+    w_top, w_bot = w_scat[:d2 * co], w_scat[d2 * co:]
+    # paired-width duplicates: input [evenL | oddL] -> output [even | odd]
+    def pair_diag(m):
+        z = jnp.zeros_like(m)
+        return jnp.concatenate(
+            [jnp.concatenate([m, z], axis=1),
+             jnp.concatenate([z, m], axis=1)], axis=0)
+    consts.update(wc_up=pair_diag(w_top), wc_skip=pair_diag(w_bot),
+                  s_c=jnp.tile(jnp.tile(inv_c, d2), 2),
+                  t_c=jnp.tile(jnp.tile(off_c, d2), 2))
+
+    # --- k3 conv in paired width space ---------------------------------
+    band3, d2b = conv_band_matrix(3, d2, 1, 1)
+    assert d2b == d2
+    k3 = k_3.astype(jnp.float32)
+    inv3, off3 = _fold_bn(*bn_3)
+    blocks3 = _blocks_banded(band3, co, co)
+    mats3, scales3, offs3 = [], [], []
+    for (o0, o1, lo, hi) in blocks3:
+        sub = jnp.asarray(band3[:, lo:hi, o0:o1], jnp.float32)
+        w = jnp.einsum("kabio,kde->abdieo", k3, sub)
+        w = w.reshape(3, 3, (hi - lo) * co, (o1 - o0) * co)
+        span, nb = (hi - lo) * co, (o1 - o0) * co
+        z = jnp.zeros((span, nb), jnp.float32)
+        per_kh = []
+        for kh in range(3):
+            # paired: out even col 2j <- in 2j-1 (odd of prev), 2j, 2j+1
+            #         out odd col 2j+1 <- in 2j, 2j+1, 2j+2 (even of next)
+            cur = jnp.concatenate(
+                [jnp.concatenate([w[kh, 1], w[kh, 0]], axis=1),
+                 jnp.concatenate([w[kh, 2], w[kh, 1]], axis=1)], axis=0)
+            prev = jnp.concatenate(
+                [jnp.concatenate([z, z], axis=1),
+                 jnp.concatenate([w[kh, 0], z], axis=1)], axis=0)
+            nxt = jnp.concatenate(
+                [jnp.concatenate([z, w[kh, 2]], axis=1),
+                 jnp.concatenate([z, z], axis=1)], axis=0)
+            per_kh.extend([prev, cur, nxt])
+        mats3.append(jnp.stack(per_kh))              # (9, 2span, 2nb)
+        scales3.append(jnp.tile(inv3, o1 - o0))
+        offs3.append(jnp.tile(off3, o1 - o0))
+    consts.update(blocks_3=blocks3, w_3=mats3, s_3=scales3, t_3=offs3)
+    return consts
+
+
+def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
+                        interpret: bool = False) -> Array:
+    """One hourglass up level: ``k3(k1(cat(deconv(src), skip)))``.
+
+    ``src``: (B, h_s, w_s, d_s*ci_u) coarse input; ``skip``: (B, h2, w2,
+    d2*co) with ``h2 <= 2*h_s`` (deconv overhang cropped), ``w2 == 2*w_s``
+    even. The 1x1x1 conv sees the depth-interleaved concat through the
+    in_perm folded at prepare time. Returns (B, h2, w2, d2*co) in skip's
+    dtype. Internally everything runs in paired-width lane space.
+    """
+    b, h_s, w_s, lc_s = src.shape
+    _, h2, w2, l2 = skip.shape
+    d_s, d2, co = consts["d_s"], consts["d2"], consts["co"]
+    ci_u = consts["ci_u"]
+    assert lc_s == d_s * ci_u and l2 == d2 * co, (src.shape, skip.shape)
+    assert w2 == 2 * w_s and w2 % 2 == 0 and h2 % 2 == 0, (w2, w_s, h2)
+    assert h2 <= 2 * h_s, (h2, h_s)
+    approx = consts["gelu_approximate"]
+    out_dtype = skip.dtype
+    mm_dt = jnp.float32 if interpret else jnp.bfloat16
+    wo2 = w2 // 2                      # output pairs == src columns
+
+    skip_p = skip.reshape(b, h2, wo2, 2 * l2)
+    wo2_true = wo2
+    wo2 = -(-wo2 // 8) * 8
+    if wo2 != wo2_true:
+        skip_p = jnp.pad(skip_p,
+                         ((0, 0), (0, 0), (0, wo2 - wo2_true), (0, 0)))
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, wo2 - wo2_true), (0, 0)))
+
+    itemsize = jnp.dtype(skip.dtype).itemsize
+    budget = 16 * 1024 * 1024
+    th2 = 2
+    for cand in range(h2, 1, -1):
+        if h2 % cand == 0 and cand % 2 == 0 \
+                and (cand + 4) * wo2 * 2 * l2 * itemsize <= budget:
+            th2 = cand
+            break
+    assert h2 % th2 == 0 and th2 % 2 == 0, (h2, th2)
+    nt = th2 // 2 + 2                  # deconv pair-rows per tile
+    ld_s = min(nt + 2, h_s)            # src rows per tile
+    ld_k = min(th2 + 4, h2)            # skip rows per tile
+
+    n_u = len(consts["w_u"])
+    n_3 = len(consts["w_3"])
+
+    def kernel(*refs):
+        wu_refs = refs[0:n_u]
+        su_ref, tu_ref = refs[n_u], refs[n_u + 1]
+        wcu_ref, wck_ref = refs[n_u + 2], refs[n_u + 3]
+        sc_ref, tc_ref = refs[n_u + 4], refs[n_u + 5]
+        w3_refs = refs[n_u + 6: n_u + 6 + n_3]
+        s3_ref, t3_ref = refs[n_u + 6 + n_3], refs[n_u + 7 + n_3]
+        src_ref = refs[n_u + 8 + n_3]
+        skip_ref = refs[n_u + 9 + n_3]
+        out_ref = refs[n_u + 10 + n_3]
+        win_s, win_k, sem_s, sem_k = refs[n_u + 11 + n_3:]
+
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+        r0 = ti * th2
+
+        # src rows needed: [t0-1, t0+nt+1), t0 = r0/2 - 1 (pair-row
+        # origin); window origin t0-3 gives the clamped DMA 2 rows of
+        # slack each side (dst in [1, 4])
+        t0 = r0 // 2 - 1
+        org_s = t0 - 3
+        src0 = jnp.clip(t0 - 1, 0, h_s - ld_s)
+        cp = pltpu.make_async_copy(
+            src_ref.at[bi, pl.ds(src0, ld_s)],
+            win_s.at[pl.ds(src0 - org_s, ld_s)], sem_s)
+        cp.start()
+        # skip rows needed: [r0-2, r0+th2+2); window origin r0-6
+        org_k = r0 - 6
+        k0 = jnp.clip(r0 - 2, 0, h2 - ld_k)
+        cpk = pltpu.make_async_copy(
+            skip_ref.at[bi, pl.ds(k0, ld_k)],
+            win_k.at[pl.ds(k0 - org_k, ld_k)], sem_k)
+        cpk.start()
+        cp.wait()
+        cpk.wait()
+
+        sw = win_s[...].astype(jnp.float32)
+        rg_s = jax.lax.broadcasted_iota(
+            jnp.int32, (nt + 6, 1, 1), 0) + org_s
+        sw = jnp.where((rg_s >= 0) & (rg_s < h_s), sw, 0.0)
+        if wo2 != wo2_true:
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
+            sw = jnp.where(cg < wo2_true, sw, 0.0)
+
+        def shift_prev(v):
+            return jnp.concatenate(
+                [jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+
+        def shift_next(v):
+            return jnp.concatenate(
+                [v[:, 1:], jnp.zeros_like(v[:, :1])], axis=1)
+
+        # --- deconv at output rows [r0-2, r0+th2+2), E/O planes -------
+        # pair-row t = t0 + v, v in [0, nt): window index of in-row t is
+        # t - org_s = v + 3
+        s_m1 = sw[2:2 + nt]
+        s_0 = sw[3:3 + nt]
+        s_p1 = sw[4:4 + nt]
+        evens, odds = [], []
+        for bix, (o0, o1, lo, hi) in enumerate(consts["blocks_u"]):
+            nb = (o1 - o0) * co
+
+            def mm(v, tap, _bix=bix):
+                sl = v[..., lo * ci_u:hi * ci_u]
+                lhs = sl.reshape(nt * wo2, (hi - lo) * ci_u)
+                y = jax.lax.dot_general(
+                    lhs.astype(mm_dt), wu_refs[_bix][tap].astype(mm_dt),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return y.reshape(nt, wo2, 2 * nb)
+
+            # taps: kh=1 (0..2 on row t), kh=3 (3..5 on t-1),
+            #       kh=2 (6..8 on t), kh=0 (9..11 on t+1);
+            # within each triple: [prev, cur, next] column pair
+            def tap3(v, base):
+                return (mm(shift_prev(v), base)
+                        + mm(v, base + 1)
+                        + mm(shift_next(v), base + 2))
+
+            e = tap3(s_0, 0) + tap3(s_m1, 3)
+            o = tap3(s_0, 6) + tap3(s_p1, 9)
+            sv = su_ref[...][:, o0 * co:o0 * co + nb]
+            tv = tu_ref[...][:, o0 * co:o0 * co + nb]
+            sv2 = jnp.concatenate([sv, sv], axis=-1)[None]
+            tv2 = jnp.concatenate([tv, tv], axis=-1)[None]
+            e = gelu(e * sv2 + tv2, approximate=approx, interpret=interpret)
+            o = gelu(o * sv2 + tv2, approximate=approx, interpret=interpret)
+            evens.append((e[..., :nb], o[..., :nb]))
+            odds.append((e[..., nb:], o[..., nb:]))
+        # assemble [even_all | odd_all] per parity plane, then interleave
+        # rows: (nt, 2, wo2, 2*l2) -> (2nt, wo2, 2*l2)
+        e_full = jnp.concatenate([a for a, _ in evens]
+                                 + [a for a, _ in odds], axis=-1)
+        o_full = jnp.concatenate([bq for _, bq in evens]
+                                 + [bq for _, bq in odds], axis=-1)
+        y_u = jnp.stack([e_full, o_full], axis=1).reshape(
+            2 * nt, wo2, 2 * l2)
+
+        # mask deconv rows outside [0, h2) (global rows r0-2 + i)
+        rg = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * nt, 1, 1), 0) + (r0 - 2)
+        y_u = jnp.where((rg >= 0) & (rg < h2), y_u, 0.0)
+
+        # window index of global skip row g is g - org_k = g - r0 + 6;
+        # rows [r0-2, r0+th2+2) are indices [4, th2+8)
+        kw = win_k[4:4 + 2 * nt].astype(jnp.float32)
+        kw = jnp.where((rg >= 0) & (rg < h2), kw, 0.0)
+        if wo2 != wo2_true:
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
+            y_u = jnp.where(cg < wo2_true, y_u, 0.0)
+            kw = jnp.where(cg < wo2_true, kw, 0.0)
+
+        # --- k1 on the interleaved concat (rows [r0-1, r0+th2+1)) -----
+        rows1 = th2 + 2
+        yu1 = y_u[1:1 + rows1]
+        kw1 = kw[1:1 + rows1]
+
+        def mm_flat(v, w_ref):
+            lhs = v.reshape(rows1 * wo2, 2 * l2)
+            y = jax.lax.dot_general(
+                lhs.astype(mm_dt), w_ref[...].astype(mm_dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y.reshape(rows1, wo2, 2 * l2)
+
+        z = mm_flat(yu1, wcu_ref) + mm_flat(kw1, wck_ref)
+        z = gelu(z * sc_ref[...][None] + tc_ref[...][None],
+                 approximate=approx, interpret=interpret)
+        rz = jax.lax.broadcasted_iota(
+            jnp.int32, (rows1, 1, 1), 0) + (r0 - 1)
+        z = jnp.where((rz >= 0) & (rz < h2), z, 0.0)
+        if wo2 != wo2_true:
+            cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
+            z = jnp.where(cg < wo2_true, z, 0.0)
+
+        # --- k3 in paired space (standard banded, tap-major refs) -----
+        outs = []
+        for bix, (o0, o1, lo, hi) in enumerate(consts["blocks_3"]):
+            nb = (o1 - o0) * co
+            acc = None
+            for kh in range(3):
+                zr = z[kh:kh + th2]
+                for ci_, zz in ((0, shift_prev(zr)), (1, zr),
+                                (2, shift_next(zr))):
+                    sl = jnp.concatenate(
+                        [zz[..., lo * co:hi * co],
+                         zz[..., l2 + lo * co: l2 + hi * co]], axis=-1)
+                    lhs = sl.reshape(th2 * wo2, 2 * (hi - lo) * co)
+                    y = jax.lax.dot_general(
+                        lhs.astype(mm_dt),
+                        w3_refs[bix][kh * 3 + ci_].astype(mm_dt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y
+            acc = acc.reshape(th2, wo2, 2 * nb)
+            sv = s3_ref[...][:, o0 * co:o0 * co + nb]
+            tv = t3_ref[...][:, o0 * co:o0 * co + nb]
+            sv2 = jnp.concatenate([sv, sv], axis=-1)[None]
+            tv2 = jnp.concatenate([tv, tv], axis=-1)[None]
+            outs.append(gelu(acc * sv2 + tv2, approximate=approx,
+                             interpret=interpret))
+        # blocks produced [even_nb | odd_nb]; assemble full halves
+        e_all = jnp.concatenate(
+            [oo[..., :(b1 - b0) * co]
+             for oo, (b0, b1, _, _) in zip(outs, consts["blocks_3"])],
+            axis=-1)
+        o_all = jnp.concatenate(
+            [oo[..., (b1 - b0) * co:]
+             for oo, (b0, b1, _, _) in zip(outs, consts["blocks_3"])],
+            axis=-1)
+        out_ref[0] = jnp.concatenate([e_all, o_all], axis=-1).astype(
+            out_dtype)
+
+    args = (*consts["w_u"],
+            jnp.concatenate(consts["s_u"])[None],
+            jnp.concatenate(consts["t_u"])[None],
+            consts["wc_up"], consts["wc_skip"],
+            consts["s_c"][None], consts["t_c"][None],
+            *consts["w_3"],
+            jnp.concatenate(consts["s_3"])[None],
+            jnp.concatenate(consts["t_3"])[None],
+            src, skip_p)
+
+    n_const = n_u + n_3 + 8
+    run = pl.pallas_call(
+        kernel,
+        grid=(b, h2 // th2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec((1, th2, wo2, 2 * l2),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h2, wo2, 2 * l2), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nt + 6, wo2, lc_s), src.dtype),
+            pltpu.VMEM((th2 + 10, wo2, 2 * l2), skip_p.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            has_side_effects=False),
+        interpret=interpret,
+    )
+    out = run(*args)
+    if wo2 != wo2_true:
+        out = out[:, :, :wo2_true]
+    # un-pair: (B, h2, wo2, 2*l2) -> (B, h2, w2, l2) (XLA relayout)
+    return out.reshape(b, h2, w2, l2)
