@@ -173,7 +173,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
     assert lc == d * ci0, (vol.shape, d, ci0)
     approx = consts["gelu_approximate"]
     out_dtype = out_dtype or vol.dtype
-    assert jnp.dtype(out_dtype).kind == "f", out_dtype
+    assert jnp.issubdtype(out_dtype, jnp.floating), out_dtype
     mm_dt = jnp.float32 if interpret else jnp.bfloat16
 
     # Mosaic requires 8-aligned sublane (width) shapes; non-aligned grids

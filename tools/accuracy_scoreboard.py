@@ -54,6 +54,11 @@ def main(argv=None) -> dict:
     p.add_argument("--eval_seed", type=int, default=9999,
                    help="held-out set seed — never used for training")
     p.add_argument("--out", default="ACCURACY.json")
+    p.add_argument("--merge", action="store_true",
+                   help="update only the trained variants in an existing "
+                        "out file (per-variant meta recorded under the "
+                        "variant), e.g. to give M/S a longer schedule "
+                        "than L")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -137,20 +142,23 @@ def main(argv=None) -> dict:
         }
         print(f"[{name}] eval:", json.dumps(results[name]), flush=True)
 
-    out = {
-        "meta": {
-            "steps": args.steps,
-            "shape": f"{args.batch}x{args.height}x{args.width}",
-            "eval_pairs": len(eval_batches) * args.batch,
-            "disp_range": [args.disp_min, args.disp_max],
-            "train_seed": args.train_seed,
-            "eval_seed": args.eval_seed,
-            "lr": args.lr,
-            "backend": jax.default_backend(),
-            "date": time.strftime("%Y-%m-%d"),
-        },
-        "variants": results,
+    meta = {
+        "steps": args.steps,
+        "shape": f"{args.batch}x{args.height}x{args.width}",
+        "eval_pairs": len(eval_batches) * args.batch,
+        "disp_range": [args.disp_min, args.disp_max],
+        "train_seed": args.train_seed,
+        "eval_seed": args.eval_seed,
+        "lr": args.lr,
+        "backend": jax.default_backend(),
+        "date": time.strftime("%Y-%m-%d"),
     }
+    out = {"meta": meta, "variants": results}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        for k, v in results.items():
+            out["variants"][k] = {**v, "meta": meta}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
