@@ -161,6 +161,11 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
     h_pad = h + (h % 2)
     if h_pad != h:
         xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    # manual DMA sources must have 128-aligned lane dims (Mosaic slices
+    # the HBM memref); pad and slice back after the window load
+    lcp = -(-2 * lc // 128) * 128
+    if lcp != 2 * lc:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, lcp - 2 * lc)))
 
     # Output row tile th (divisor of ho). The scratch window's origin is
     # global row 2*r0 - 8 (even, 4 rows of slack below the needed
@@ -171,7 +176,7 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
     budget = 16 * 1024 * 1024
     th = 1
     for cand in range(ho, 0, -1):
-        if ho % cand == 0 and (2 * cand + 14) * wo * 2 * lc * itemsize \
+        if ho % cand == 0 and (2 * cand + 14) * wo * lcp * itemsize \
                 <= budget:
             th = cand
             break
@@ -206,7 +211,7 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
         cp.start()
         cp.wait()
 
-        xw = win[...].astype(jnp.float32)
+        xw = win[...][..., :2 * lc].astype(jnp.float32)
         rg = jax.lax.broadcasted_iota(
             jnp.int32, (2 * th + 14, 1, 1), 0) + origin
         xw = jnp.where((rg >= 0) & (rg < h), xw, 0.0)
@@ -287,7 +292,7 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, d1 * co_b), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 14, wo, 2 * lc), x.dtype),
+            pltpu.VMEM((2 * th + 14, wo, lcp), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -444,13 +449,21 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
         skip_p = jnp.pad(skip_p,
                          ((0, 0), (0, 0), (0, wo2 - wo2_true), (0, 0)))
         src = jnp.pad(src, ((0, 0), (0, 0), (0, wo2 - wo2_true), (0, 0)))
+    # manual DMA sources need 128-aligned lane dims (see down kernel)
+    lsp = -(-lc_s // 128) * 128
+    if lsp != lc_s:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, 0), (0, lsp - lc_s)))
+    lkp = -(-2 * l2 // 128) * 128
+    if lkp != 2 * l2:
+        skip_p = jnp.pad(skip_p,
+                         ((0, 0), (0, 0), (0, 0), (0, lkp - 2 * l2)))
 
     itemsize = jnp.dtype(skip.dtype).itemsize
     budget = 16 * 1024 * 1024
     th2 = 2
     for cand in range(h2, 1, -1):
         if h2 % cand == 0 and cand % 2 == 0 \
-                and (cand + 4) * wo2 * 2 * l2 * itemsize <= budget:
+                and (cand + 4) * wo2 * lkp * itemsize <= budget:
             th2 = cand
             break
     assert h2 % th2 == 0 and th2 % 2 == 0, (h2, th2)
@@ -497,7 +510,7 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
         cp.wait()
         cpk.wait()
 
-        sw = win_s[...].astype(jnp.float32)
+        sw = win_s[...][..., :lc_s].astype(jnp.float32)
         rg_s = jax.lax.broadcasted_iota(
             jnp.int32, (nt + 6, 1, 1), 0) + org_s
         sw = jnp.where((rg_s >= 0) & (rg_s < h_s), sw, 0.0)
@@ -566,7 +579,7 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
 
         # window index of global skip row g is g - org_k = g - r0 + 6;
         # rows [r0-2, r0+th2+2) are indices [4, th2+8)
-        kw = win_k[4:4 + 2 * nt].astype(jnp.float32)
+        kw = win_k[4:4 + 2 * nt][..., :2 * l2].astype(jnp.float32)
         kw = jnp.where((rg >= 0) & (rg < h2), kw, 0.0)
         if wo2 != wo2_true:
             cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
@@ -655,8 +668,8 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h2, wo2, 2 * l2), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((nt + 6, wo2, lc_s), src.dtype),
-            pltpu.VMEM((th2 + 10, wo2, 2 * l2), skip_p.dtype),
+            pltpu.VMEM((nt + 6, wo2, lsp), src.dtype),
+            pltpu.VMEM((th2 + 10, wo2, lkp), skip_p.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
