@@ -273,10 +273,12 @@ def fused_down_pair_apply(x: Array, consts: dict, *,
                   sb_ref, tb_ref)
         out_ref[0] = y2.astype(out_dtype)
 
-    args = (*consts["cur_a"], *consts["prev_a"],
+    # weights at the matmul dtype (VMEM footprint; interpret = fp32)
+    args = (*[a.astype(mm_dt) for a in consts["cur_a"]],
+            *[a.astype(mm_dt) for a in consts["prev_a"]],
             jnp.concatenate(consts["s_a"])[None],
             jnp.concatenate(consts["t_a"])[None],
-            *consts["w_b"],
+            *[a.astype(mm_dt) for a in consts["w_b"]],
             jnp.concatenate(consts["s_b"])[None],
             jnp.concatenate(consts["t_b"])[None],
             xp)
@@ -363,28 +365,44 @@ def prepare_up_consts(k_up: Array, bn_up: tuple, k_cat: Array,
                   w_u=mats_u, s_u=scales_u, t_u=offs_u)
 
     # --- k1 conv on the interleaved concat: split into deconv/skip ----
-    kc = k_cat.astype(jnp.float32)[0, 0, 0]          # (2co... ) folded?
+    # The interleave layout is (depth, [c_up c_skip]) (interleave_indices
+    # semantics), so the 1x1x1 conv is block-diagonal over depth with
+    # kc[:co] multiplying the deconv channels and kc[co:] the skip
+    # channels of the SAME depth. Blocked per output-depth range (the
+    # round-4 dense scatter matrix was (2*d2*co)^2 and alone blew the
+    # kernel's VMEM budget at level 1).
+    kc = k_cat.astype(jnp.float32)[0, 0, 0]          # (2co, co)
     assert kc.ndim == 2 and kc.shape[0] == 2 * co, kc.shape
+    # verify the in_perm really is the (depth, [up skip]) interleave the
+    # blocking assumes
+    from esmstereo_tpu.nn.phasefold import interleave_indices as _ili
+    assert np.array_equal(np.asarray(in_perm), _ili(d2, [co, co])), \
+        "unexpected concat permutation"
     inv_c, off_c = _fold_bn(*bn_cat)
-    # logical folded weight: block-diag over depth with rows permuted by
-    # in_perm; scatter rows back to the plain-concat layout and split
-    n_cat = d2 * 2 * co
-    w_log = jnp.zeros((n_cat, d2 * co), jnp.float32)
-    for dd in range(d2):
-        w_log = w_log.at[dd * 2 * co:(dd + 1) * 2 * co,
-                         dd * co:(dd + 1) * co].set(kc)
-    w_scat = jnp.zeros_like(w_log)
-    w_scat = w_scat.at[jnp.asarray(in_perm)].set(w_log)
-    w_top, w_bot = w_scat[:d2 * co], w_scat[d2 * co:]
-    # paired-width duplicates: input [evenL | oddL] -> output [even | odd]
+    db_c = max(1, -(-128 // co))
+    blocks_c = [(o0, min(o0 + db_c, d2)) for o0 in range(0, d2, db_c)]
+
+    def blk_diag(m, n):
+        out = jnp.zeros((n * m.shape[0], n * m.shape[1]), jnp.float32)
+        for i in range(n):
+            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
+                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
+        return out
+
     def pair_diag(m):
         z = jnp.zeros_like(m)
         return jnp.concatenate(
             [jnp.concatenate([m, z], axis=1),
              jnp.concatenate([z, m], axis=1)], axis=0)
-    consts.update(wc_up=pair_diag(w_top), wc_skip=pair_diag(w_bot),
-                  s_c=jnp.tile(jnp.tile(inv_c, d2), 2),
-                  t_c=jnp.tile(jnp.tile(off_c, d2), 2))
+
+    wc_up, wc_skip, s_c, t_c = [], [], [], []
+    for (o0, o1) in blocks_c:
+        wc_up.append(pair_diag(blk_diag(kc[:co], o1 - o0)))
+        wc_skip.append(pair_diag(blk_diag(kc[co:], o1 - o0)))
+        s_c.append(jnp.tile(inv_c, o1 - o0))
+        t_c.append(jnp.tile(off_c, o1 - o0))
+    consts.update(blocks_c=blocks_c, wc_up=wc_up, wc_skip=wc_skip,
+                  s_c=s_c, t_c=t_c)
 
     # --- k3 conv in paired width space ---------------------------------
     band3, d2b = conv_band_matrix(3, d2, 1, 1)
@@ -472,19 +490,22 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
     ld_k = min(th2 + 4, h2)            # skip rows per tile
 
     n_u = len(consts["w_u"])
+    n_c = len(consts["wc_up"])
     n_3 = len(consts["w_3"])
 
     def kernel(*refs):
         wu_refs = refs[0:n_u]
         su_ref, tu_ref = refs[n_u], refs[n_u + 1]
-        wcu_ref, wck_ref = refs[n_u + 2], refs[n_u + 3]
-        sc_ref, tc_ref = refs[n_u + 4], refs[n_u + 5]
-        w3_refs = refs[n_u + 6: n_u + 6 + n_3]
-        s3_ref, t3_ref = refs[n_u + 6 + n_3], refs[n_u + 7 + n_3]
-        src_ref = refs[n_u + 8 + n_3]
-        skip_ref = refs[n_u + 9 + n_3]
-        out_ref = refs[n_u + 10 + n_3]
-        win_s, win_k, sem_s, sem_k = refs[n_u + 11 + n_3:]
+        wcu_refs = refs[n_u + 2: n_u + 2 + n_c]
+        wck_refs = refs[n_u + 2 + n_c: n_u + 2 + 2 * n_c]
+        sc_ref, tc_ref = refs[n_u + 2 + 2 * n_c], refs[n_u + 3 + 2 * n_c]
+        off = n_u + 4 + 2 * n_c
+        w3_refs = refs[off: off + n_3]
+        s3_ref, t3_ref = refs[off + n_3], refs[off + n_3 + 1]
+        src_ref = refs[off + n_3 + 2]
+        skip_ref = refs[off + n_3 + 3]
+        out_ref = refs[off + n_3 + 4]
+        win_s, win_k, sem_s, sem_k = refs[off + n_3 + 5:]
 
         bi = pl.program_id(0)
         ti = pl.program_id(1)
@@ -586,22 +607,37 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
             y_u = jnp.where(cg < wo2_true, y_u, 0.0)
             kw = jnp.where(cg < wo2_true, kw, 0.0)
 
-        # --- k1 on the interleaved concat (rows [r0-1, r0+th2+1)) -----
+        # --- k1 on the interleaved concat (rows [r0-1, r0+th2+1)),
+        # blocked over output depths (block-diagonal: no depth mixing) --
         rows1 = th2 + 2
         yu1 = y_u[1:1 + rows1]
         kw1 = kw[1:1 + rows1]
 
-        def mm_flat(v, w_ref):
-            lhs = v.reshape(rows1 * wo2, 2 * l2)
+        def mm_blk(v, w_ref, o0, o1):
+            sl = jnp.concatenate(
+                [v[..., o0 * co:o1 * co],
+                 v[..., l2 + o0 * co: l2 + o1 * co]], axis=-1)
+            lhs = sl.reshape(rows1 * wo2, 2 * (o1 - o0) * co)
             y = jax.lax.dot_general(
                 lhs.astype(mm_dt), w_ref[...].astype(mm_dt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return y.reshape(rows1, wo2, 2 * l2)
+            return y.reshape(rows1, wo2, 2 * (o1 - o0) * co)
 
-        z = mm_flat(yu1, wcu_ref) + mm_flat(kw1, wck_ref)
-        z = gelu(z * sc_ref[...][None] + tc_ref[...][None],
-                 approximate=approx, interpret=interpret)
+        z_e, z_o = [], []
+        for bix, (o0, o1) in enumerate(consts["blocks_c"]):
+            nb = (o1 - o0) * co
+            zz = (mm_blk(yu1, wcu_refs[bix], o0, o1)
+                  + mm_blk(kw1, wck_refs[bix], o0, o1))
+            sv = sc_ref[...][:, o0 * co:o0 * co + nb]
+            tv = tc_ref[...][:, o0 * co:o0 * co + nb]
+            sv2 = jnp.concatenate([sv, sv], axis=-1)[None]
+            tv2 = jnp.concatenate([tv, tv], axis=-1)[None]
+            zz = gelu(zz * sv2 + tv2, approximate=approx,
+                      interpret=interpret)
+            z_e.append(zz[..., :nb])
+            z_o.append(zz[..., nb:])
+        z = jnp.concatenate(z_e + z_o, axis=-1)
         rz = jax.lax.broadcasted_iota(
             jnp.int32, (rows1, 1, 1), 0) + (r0 - 1)
         z = jnp.where((rz >= 0) & (rz < h2), z, 0.0)
@@ -647,17 +683,24 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
         out_ref[0] = jnp.concatenate([e_all, o_all], axis=-1).astype(
             out_dtype)
 
-    args = (*consts["w_u"],
+    # big weight tensors ship at the matmul dtype (halves their VMEM
+    # footprint on hardware; interpret stays fp32-exact)
+    def wdt(a):
+        return a.astype(mm_dt)
+
+    args = (*[wdt(a) for a in consts["w_u"]],
             jnp.concatenate(consts["s_u"])[None],
             jnp.concatenate(consts["t_u"])[None],
-            consts["wc_up"], consts["wc_skip"],
-            consts["s_c"][None], consts["t_c"][None],
-            *consts["w_3"],
+            *[wdt(a) for a in consts["wc_up"]],
+            *[wdt(a) for a in consts["wc_skip"]],
+            jnp.concatenate(consts["s_c"])[None],
+            jnp.concatenate(consts["t_c"])[None],
+            *[wdt(a) for a in consts["w_3"]],
             jnp.concatenate(consts["s_3"])[None],
             jnp.concatenate(consts["t_3"])[None],
             src, skip_p)
 
-    n_const = n_u + n_3 + 8
+    n_const = n_u + 2 * n_c + n_3 + 6
     run = pl.pallas_call(
         kernel,
         grid=(b, h2 // th2),
