@@ -547,32 +547,41 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
             return jnp.concatenate(
                 [v[:, 1:], jnp.zeros_like(v[:, :1])], axis=1)
 
-        # --- deconv at output rows [r0-2, r0+th2+2), E/O planes -------
+        # --- deconv + k1, fused PER DEPTH BLOCK (the deconv and the
+        # block-diagonal 1x1x1 share the same output-depth partition, so
+        # the full-width deconv tensor never materializes — the round-4
+        # fp32 full-tensor form spilled ~85 MB of vregs at level 1) ----
         # pair-row t = t0 + v, v in [0, nt): window index of in-row t is
         # t - org_s = v + 3
         s_m1 = sw[2:2 + nt]
         s_0 = sw[3:3 + nt]
         s_p1 = sw[4:4 + nt]
-        evens, odds = [], []
+        rows1 = th2 + 2
+        # skip rows [r0-1, r0+th2+1) = window indices [5, th2+7); stays
+        # in the window dtype (it feeds matmuls only)
+        kw1 = win_k[5:5 + rows1]
+
+        z_e, z_o = [], []
         for bix, (o0, o1, lo, hi) in enumerate(consts["blocks_u"]):
             nb = (o1 - o0) * co
+            assert (o0, o1) == consts["blocks_c"][bix][:2]
 
-            def mm(v, tap, _bix=bix):
-                sl = v[..., lo * ci_u:hi * ci_u]
-                lhs = sl.reshape(nt * wo2, (hi - lo) * ci_u)
+            def mm(v, tap, _bix=bix, _lo=lo, _hi=hi, _nb=nb):
+                sl = v[..., _lo * ci_u:_hi * ci_u]
+                lhs = sl.reshape(nt * wo2, (_hi - _lo) * ci_u)
                 y = jax.lax.dot_general(
                     lhs.astype(mm_dt), wu_refs[_bix][tap].astype(mm_dt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                return y.reshape(nt, wo2, 2 * nb)
+                return y.reshape(nt, wo2, 2 * _nb)
 
             # taps: kh=1 (0..2 on row t), kh=3 (3..5 on t-1),
             #       kh=2 (6..8 on t), kh=0 (9..11 on t+1);
             # within each triple: [prev, cur, next] column pair
-            def tap3(v, base):
-                return (mm(shift_prev(v), base)
-                        + mm(v, base + 1)
-                        + mm(shift_next(v), base + 2))
+            def tap3(v, base, _mm=mm):
+                return (_mm(shift_prev(v), base)
+                        + _mm(v, base + 1)
+                        + _mm(shift_next(v), base + 2))
 
             e = tap3(s_0, 0) + tap3(s_m1, 3)
             o = tap3(s_0, 6) + tap3(s_p1, 9)
@@ -582,68 +591,41 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
             tv2 = jnp.concatenate([tv, tv], axis=-1)[None]
             e = gelu(e * sv2 + tv2, approximate=approx, interpret=interpret)
             o = gelu(o * sv2 + tv2, approximate=approx, interpret=interpret)
-            evens.append((e[..., :nb], o[..., :nb]))
-            odds.append((e[..., nb:], o[..., nb:]))
-        # assemble [even_all | odd_all] per parity plane, then interleave
-        # rows: (nt, 2, wo2, 2*l2) -> (2nt, wo2, 2*l2)
-        e_full = jnp.concatenate([a for a, _ in evens]
-                                 + [a for a, _ in odds], axis=-1)
-        o_full = jnp.concatenate([bq for _, bq in evens]
-                                 + [bq for _, bq in odds], axis=-1)
-        y_u = jnp.stack([e_full, o_full], axis=1).reshape(
-            2 * nt, wo2, 2 * l2)
+            # interleave row parities -> (2nt, wo2, 2nb), then the k1
+            # rows [r0-1, r0+th2+1) are indices [1, th2+3). No pre-mask:
+            # out-of-image rows carry finite junk that the z mask zeroes.
+            y_blk = jnp.stack([e, o], axis=1).reshape(2 * nt, wo2, 2 * nb)
+            y1 = y_blk[1:1 + rows1]
 
-        # mask deconv rows outside [0, h2) (global rows r0-2 + i)
-        rg = jax.lax.broadcasted_iota(
-            jnp.int32, (2 * nt, 1, 1), 0) + (r0 - 2)
-        y_u = jnp.where((rg >= 0) & (rg < h2), y_u, 0.0)
-
-        # window index of global skip row g is g - org_k = g - r0 + 6;
-        # rows [r0-2, r0+th2+2) are indices [4, th2+8)
-        kw = win_k[4:4 + 2 * nt][..., :2 * l2].astype(jnp.float32)
-        kw = jnp.where((rg >= 0) & (rg < h2), kw, 0.0)
-        if wo2 != wo2_true:
-            cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
-            y_u = jnp.where(cg < wo2_true, y_u, 0.0)
-            kw = jnp.where(cg < wo2_true, kw, 0.0)
-
-        # --- k1 on the interleaved concat (rows [r0-1, r0+th2+1)),
-        # blocked over output depths (block-diagonal: no depth mixing) --
-        rows1 = th2 + 2
-        yu1 = y_u[1:1 + rows1]
-        kw1 = kw[1:1 + rows1]
-
-        def mm_blk(v, w_ref, o0, o1):
-            sl = jnp.concatenate(
-                [v[..., o0 * co:o1 * co],
-                 v[..., l2 + o0 * co: l2 + o1 * co]], axis=-1)
-            lhs = sl.reshape(rows1 * wo2, 2 * (o1 - o0) * co)
-            y = jax.lax.dot_general(
-                lhs.astype(mm_dt), w_ref[...].astype(mm_dt),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return y.reshape(rows1, wo2, 2 * (o1 - o0) * co)
-
-        z_e, z_o = [], []
-        for bix, (o0, o1) in enumerate(consts["blocks_c"]):
-            nb = (o1 - o0) * co
-            zz = (mm_blk(yu1, wcu_refs[bix], o0, o1)
-                  + mm_blk(kw1, wck_refs[bix], o0, o1))
+            ks = jnp.concatenate(
+                [kw1[..., o0 * co:o1 * co],
+                 kw1[..., l2 + o0 * co: l2 + o1 * co]], axis=-1)
+            zz = (jax.lax.dot_general(
+                      y1.reshape(rows1 * wo2, 2 * nb).astype(mm_dt),
+                      wcu_refs[bix][...].astype(mm_dt),
+                      (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      ks.reshape(rows1 * wo2, 2 * nb).astype(mm_dt),
+                      wck_refs[bix][...].astype(mm_dt),
+                      (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+                  ).reshape(rows1, wo2, 2 * nb)
             sv = sc_ref[...][:, o0 * co:o0 * co + nb]
             tv = tc_ref[...][:, o0 * co:o0 * co + nb]
             sv2 = jnp.concatenate([sv, sv], axis=-1)[None]
             tv2 = jnp.concatenate([tv, tv], axis=-1)[None]
             zz = gelu(zz * sv2 + tv2, approximate=approx,
-                      interpret=interpret)
+                      interpret=interpret).astype(mm_dt)
             z_e.append(zz[..., :nb])
             z_o.append(zz[..., nb:])
         z = jnp.concatenate(z_e + z_o, axis=-1)
         rz = jax.lax.broadcasted_iota(
             jnp.int32, (rows1, 1, 1), 0) + (r0 - 1)
-        z = jnp.where((rz >= 0) & (rz < h2), z, 0.0)
+        z = jnp.where((rz >= 0) & (rz < h2), z, 0.0).astype(mm_dt)
         if wo2 != wo2_true:
             cg = jax.lax.broadcasted_iota(jnp.int32, (1, wo2, 1), 1)
-            z = jnp.where(cg < wo2_true, z, 0.0)
+            z = jnp.where(cg < wo2_true, z, 0.0).astype(mm_dt)
 
         # --- k3 in paired space (standard banded, tap-major refs) -----
         outs = []
