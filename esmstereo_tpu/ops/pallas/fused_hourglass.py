@@ -699,7 +699,7 @@ def fused_up_pair_apply(src: Array, skip: Array, consts: dict, *,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
             has_side_effects=False),
         interpret=interpret,
     )
