@@ -142,8 +142,10 @@ class ESMStereoConfig:
     # conv pair as one Pallas kernel (ops.pallas.fused_hourglass) — the
     # stem-kernel re-read fix applied to the hourglass's biggest convs.
     # OFF by default pending the on-hardware interleaved A/B (round 4);
-    # see BASELINE.md for the measurement.
+    # see BASELINE.md for the measurement. Down pairs and up levels
+    # toggle separately (fuse_hourglass / fuse_hourglass_up).
     fuse_hourglass: bool = False
+    fuse_hourglass_up: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,
     # like fused_stage): the cv4 upsampler's to_feat + FMBlock x2 +
     # shuffle-up as one Pallas kernel (attic/fused_mixer.py). The
@@ -706,6 +708,7 @@ class ESMStereo(nn.Module):
             cost_folded = FoldedAggregation3D(
                 red, add_channel, num_bins, dtype=dtype,
                 fuse_pairs=cfg.fuse_hourglass,
+                fuse_up=cfg.fuse_hourglass_up,
                 name="aggregation_out")(volume, train=train)
             cost = jnp.moveaxis(cost_folded, -1, 1)  # (B, D, H/v, W/v)
         else:

@@ -48,6 +48,9 @@ class FoldedAggregation3D(nn.Module):
     # mode — the stem-kernel re-read fix applied to the hourglass's
     # biggest convs. Param-tree compatible with the plain path.
     fuse_pairs: bool = False
+    # Same for the up levels (deconv + concat + k1 + k3); independent so
+    # the two kernel families A/B separately.
+    fuse_up: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -138,7 +141,9 @@ class FoldedAggregation3D(nn.Module):
 
         def up_level(src, skip, ci_u, co_, d_s_, d2_, hw, names):
             h2_, w2_ = skip.shape[1], skip.shape[2]
-            if not (use_fp and h2_ % 2 == 0 and w2_ == 2 * src.shape[2]
+            use_up = (self.fuse_up and not train
+                      and not self.is_initializing() and _plmod.accel_ok())
+            if not (use_up and h2_ % 2 == 0 and w2_ == 2 * src.shape[2]
                     and h2_ <= 2 * src.shape[1]):
                 return up_level_plain(src, skip, ci_u, co_, d_s_, d2_,
                                       hw, names)

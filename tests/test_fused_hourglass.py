@@ -78,7 +78,7 @@ def test_full_hourglass_fused_matches_plain(rng):
 
     x = jnp.asarray(rng.standard_normal((1, 16, 24, 16 * 8)), jnp.float32)
     plain = FoldedAggregation3D(8, 4, 16)
-    fused = FoldedAggregation3D(8, 4, 16, fuse_pairs=True)
+    fused = FoldedAggregation3D(8, 4, 16, fuse_pairs=True, fuse_up=True)
     v = plain.init(jax.random.key(0), x, train=False)
     want = plain.apply(v, x, train=False)
     plmod.set_force_interpret(True)

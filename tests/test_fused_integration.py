@@ -42,10 +42,12 @@ def test_all_fused_paths_match_plain(force_interpret):
     fused_cfg = ESMStereoConfig(
         fuse_backbone_head=True, fuse_stems=True, pallas_volume=True,
         fuse_agg_stem=True, fuse_mixer=True, fuse_hourglass=True,
+        fuse_hourglass_up=True,
         **common)
     plain_cfg = ESMStereoConfig(
         fuse_backbone_head=False, fuse_stems=False, pallas_volume=False,
         fuse_agg_stem=False, fuse_mixer=False, fuse_hourglass=False,
+        fuse_hourglass_up=False,
         **common)
     fused = ESMStereo(config=fused_cfg)
     plain = ESMStereo(config=plain_cfg)
