@@ -15,13 +15,20 @@ measurements recorded in BASELINE.md ("Pallas fusion results"):
   but 5x SLOWER than plain XLA (7.5 vs 1.5 ms on effb2 stage1): those
   stages are VPU-work-bound and the SE phase structure recomputes the
   6x-expanded mid tensors. tests/test_fused_stage.py.
+- ``fused_hourglass`` — the aggregation hourglass's down (s2+s1) and up
+  (deconv+concat+k1+k3) level pairs as per-level Pallas kernels
+  (round 4). Exact, but the interleaved A/B on L bf16 LOSES (+0.65 ms
+  down-only, +1.4 both): post-depth_block-tuning the hourglass convs
+  are not K-tile-re-read-bound like the cost-volume stem was.
+  tests/test_fused_hourglass.py.
 - ``wphase``       — the same mixer section executed in W-phase lanes at
   the XLA level (8 width-phases folded into 128 lanes, every op a
   block-structured matmul). Exact, but loses 0.2-0.4 ms on L bf16 in
   interleaved A/B under BOTH harness modes (tools/wphase_ab.py).
   tests/test_shufflemixer_fastpaths.py.
 
-The opt-in config flags (``fuse_mixer``, ``wphase_mixer``) still work —
+The opt-in config flags (``fuse_mixer``, ``wphase_mixer``,
+``fuse_hourglass``, ``fuse_hourglass_up``) still work —
 model dispatch lazily imports from here — so the A/B tools keep running;
 they are permanently off by default.
 """

@@ -31,6 +31,18 @@ TPU-native formulation of the stride-2 conv:
 Eval-only (BN folded); exactness vs the FoldedConvBlock3D pair is
 covered by tests/test_fused_hourglass.py (interpret mode) and the
 integrated model path by tests/test_fused_integration.py.
+
+STATUS — TRIED-AND-LOST (round 4, retired to the attic). Interleaved
+full-model A/B on L bf16 544x960 (tools/config_ab.py, 3 rounds each,
+2026-08-21): plain 13.74-13.90 ms; down pairs fused 14.48-14.49
+(+0.65); down+up fused 15.29-15.35 (+1.4). The premise did not hold:
+after the depth_block=8 band tuning the hourglass convs are NOT
+K-tile-re-read-bound the way the cost-volume stem was — XLA's native
+lowering beats the in-kernel banded matmuls, whose padded spans cost
+more MACs than XLA's convs and whose DMA/compute do not overlap as
+well. Numerically exact and kept tested; both flags stay permanently
+off. Hardware lessons preserved in CLAUDE.md (128-aligned DMA lanes,
+per-block stage fusion vs vreg spills, window slack rows).
 """
 
 from __future__ import annotations

@@ -138,12 +138,12 @@ class ESMStereoConfig:
     # see BASELINE.md for the measured A/B and the accuracy bound
     # (tests/test_fused_agg_stem.py::test_int8_volume_accuracy).
     volume_int8: bool = False
-    # Run each aggregation-hourglass down-level (stride-2, stride-1)
-    # conv pair as one Pallas kernel (ops.pallas.fused_hourglass) — the
-    # stem-kernel re-read fix applied to the hourglass's biggest convs.
-    # OFF by default pending the on-hardware interleaved A/B (round 4);
-    # see BASELINE.md for the measurement. Down pairs and up levels
-    # toggle separately (fuse_hourglass / fuse_hourglass_up).
+    # TRIED-AND-LOST (round 4, attic/fused_hourglass.py): each
+    # hourglass down-level (s2, s1) pair / up level (deconv+cat+k1+k3)
+    # as one Pallas kernel. Exact, but the interleaved A/B on L bf16
+    # LOSES: plain 13.74-13.90 ms, down fused +0.65, down+up +1.4 —
+    # post-depth_block-tuning the hourglass convs are not re-read-bound
+    # like the stem was. Permanently off; kept for the record.
     fuse_hourglass: bool = False
     fuse_hourglass_up: bool = False
     # RETIRED fast path (kept for interpret-mode parity coverage only,

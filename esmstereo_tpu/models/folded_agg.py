@@ -81,7 +81,7 @@ class FoldedAggregation3D(nn.Module):
         if use_fp:
             from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
             from esmstereo_tpu.nn.folded3d import FoldedConvParams
-            from esmstereo_tpu.ops.pallas import fused_hourglass as _fhg
+            from esmstereo_tpu.attic import fused_hourglass as _fhg
 
             def down_pair(feat, cin_, co_, d_, n0, n1):
                 p0, s0 = FoldedConvParams((3, 3, 3, cin_, co_), name=n0)()
@@ -149,7 +149,7 @@ class FoldedAggregation3D(nn.Module):
                                       hw, names)
             from esmstereo_tpu.nn.blocks import GELU_APPROXIMATE
             from esmstereo_tpu.nn.folded3d import FoldedConvParams
-            from esmstereo_tpu.ops.pallas import fused_hourglass as _fhg
+            from esmstereo_tpu.attic import fused_hourglass as _fhg
 
             n_up, n_cat, n_c3 = names
             pu, su = FoldedConvParams((4, 4, 4, ci_u, co_), deconv=True,

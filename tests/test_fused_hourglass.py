@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from esmstereo_tpu.nn.folded3d import FoldedConvBlock3D
-from esmstereo_tpu.ops.pallas import fused_hourglass as fh
+from esmstereo_tpu.attic import fused_hourglass as fh
 
 
 class _Level(nn.Module):
