@@ -134,8 +134,11 @@ class ESMStereoConfig:
     # stem conv weights (prepare_consts input_scale). Requires
     # fuse_agg_stem + the staged (not fuse_volume_agg) path; eval only.
     # Saves half the volume's HBM bytes (~50 MB at 544x960 L bf16
-    # ≈ 0.06 ms at roofline) at the cost of an extra max+quantize pass —
-    # see BASELINE.md for the measured A/B and the accuracy bound
+    # ≈ 0.06 ms at roofline) at the cost of an extra max+quantize pass.
+    # MEASURED (round 4, interleaved A/B x3, L bf16): LOSES ~0.25 ms
+    # (13.89-13.94 off vs 14.11-14.24 on) with disparity deviation q95
+    # 0.0011 px — the quantize pass outweighs the read saving, closing
+    # the round-1 int8 lever. Kept opt-in with bounded-accuracy tests
     # (tests/test_fused_agg_stem.py::test_int8_volume_accuracy).
     volume_int8: bool = False
     # TRIED-AND-LOST (round 4, attic/fused_hourglass.py): each
