@@ -42,14 +42,17 @@ VARIANTS = {
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--variants", default="L,M,S")
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--eval_pairs", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--disp_min", type=int, default=4)
-    p.add_argument("--disp_max", type=int, default=40)
+    # span several cost-volume bins for EVERY variant: cv16's bins are
+    # max_disp/12 = 16 px wide, so the 4-40 px range of round-4's first
+    # cut gave the coarse variants ~2 bins of signal and they plateaued.
+    p.add_argument("--disp_min", type=int, default=8)
+    p.add_argument("--disp_max", type=int, default=96)
     p.add_argument("--train_seed", type=int, default=42)
     p.add_argument("--eval_seed", type=int, default=9999,
                    help="held-out set seed — never used for training")
