@@ -172,6 +172,15 @@ class ESMStereoConfig:
     # block matmuls + fp32 LN passes cost more than the 16-lane
     # underfill they avoid. Do not enable by default.
     wphase_mixer: bool = False
+    # Round-5: execute the Pallas fast-path kernels UNDER a spatial
+    # (H-sharded) mesh via jax.shard_map (parallel.shard_kernels) — each
+    # device runs the single-chip kernel on its H-slab, with the conv
+    # halos exchanged over the mesh and global-coordinate boundary
+    # masking. Set by ``parallel.mesh.spatial_safe_config(...,
+    # shard_kernels=True)``; ``None`` (default) = single-device dispatch.
+    # Covers pallas_volume + fuse_agg_stem; the other kernels stay off
+    # under spatial sharding.
+    shard_mesh: Any = None
     dtype: Any = None
 
     def __post_init__(self):
@@ -640,24 +649,32 @@ class ESMStereo(nn.Module):
             # attention multiply sits between volume and stem).
             fuse_vol = (cfg.fuse_volume_agg and use_fas and use_pk
                         and v != 16)
+
+            def _corr_folded(groups, normalize=False):
+                """Pallas volume build — shard_map'd per H-slab when a
+                spatial mesh is configured (parallel.shard_kernels)."""
+                if cfg.shard_mesh is not None:
+                    from esmstereo_tpu.parallel import shard_kernels as _sk
+                    return _sk.sharded_correlation_volume_folded(
+                        match_l, match_r, num_bins, groups,
+                        cfg.shard_mesh, normalize=normalize,
+                        interpret=_plmod.force_interpret())
+                from esmstereo_tpu.ops.pallas import correlation as _pk
+                return _pk.correlation_volume_folded(
+                    match_l, match_r, num_bins, groups,
+                    normalize=normalize,
+                    interpret=_plmod.force_interpret())
+
             if not fuse_vol:
                 if cfg.cost_volume == "norm_correlation":
                     if use_pk:
-                        from esmstereo_tpu.ops.pallas import (
-                            correlation as _pk)
-                        volume = _pk.correlation_volume_folded(
-                            match_l, match_r, num_bins, 1, normalize=True,
-                            interpret=_plmod.force_interpret())
+                        volume = _corr_folded(1, normalize=True)
                     else:
                         volume = ops.build_norm_correlation_volume_folded(
                             match_l, match_r, num_bins)
                 else:
                     if use_pk:
-                        from esmstereo_tpu.ops.pallas import (
-                            correlation as _pk)
-                        volume = _pk.correlation_volume_folded(
-                            match_l, match_r, num_bins, cfg.num_groups,
-                            interpret=_plmod.force_interpret())
+                        volume = _corr_folded(cfg.num_groups)
                     else:
                         volume = ops.build_gwc_volume_folded(
                             match_l, match_r, num_bins, cfg.num_groups)
@@ -674,8 +691,13 @@ class ESMStereo(nn.Module):
                 use_i8 = cfg.volume_int8 and not fuse_vol
                 in_scale = None
                 if use_i8:
-                    # symmetric per-frame quantization; the dequant scale
-                    # folds into the stem conv weights (linear)
+                    # symmetric PER-BATCH quantization (one max over the
+                    # whole volume): a shared scalar scale is required for
+                    # the dequant to fold into the stem conv weights
+                    # (linear). At the deployment batch of 1 this equals a
+                    # per-frame scale; for batch>1 an outlier frame costs
+                    # the others resolution — acceptable for this measured
+                    # -negative, default-off path.
                     vf = volume.astype(jnp.float32)
                     vmax = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-12)
                     volume = jnp.clip(jnp.round(vf * (127.0 / vmax)),
@@ -693,12 +715,19 @@ class ESMStereo(nn.Module):
                         out_dtype=dtype or match_l.dtype,
                         interpret=_plmod.force_interpret())
                 else:
-                    volume = _fas.folded_stem_agg_apply(
-                        volume if use_i8
-                        else volume.astype(dtype or volume.dtype), consts,
-                        out_dtype=(dtype or jnp.float32) if use_i8
-                        else None,
-                        interpret=_plmod.force_interpret())
+                    vin = (volume if use_i8
+                           else volume.astype(dtype or volume.dtype))
+                    odt = (dtype or jnp.float32) if use_i8 else None
+                    if cfg.shard_mesh is not None:
+                        from esmstereo_tpu.parallel import (
+                            shard_kernels as _sk)
+                        volume = _sk.sharded_folded_stem_agg(
+                            vin, consts, cfg.shard_mesh, out_dtype=odt,
+                            interpret=_plmod.force_interpret())
+                    else:
+                        volume = _fas.folded_stem_agg_apply(
+                            vin, consts, out_dtype=odt,
+                            interpret=_plmod.force_interpret())
             else:
                 volume = FoldedConvBlock3D(red, stem_ci, num_bins, 3, 1, 1,
                                            dtype=dtype, name=stem_name)(

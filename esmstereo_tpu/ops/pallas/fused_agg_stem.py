@@ -161,12 +161,27 @@ def _make_banded_conv(w: int, mm_dt, approx: bool, interpret: bool):
 
 def folded_stem_agg_apply(vol: Array, consts: dict, *,
                           out_dtype=None,
-                          interpret: bool = False) -> Array:
+                          interpret: bool = False,
+                          halo: int = 0,
+                          row0: Array | int | None = None,
+                          h_global: int | None = None) -> Array:
     """Apply group_stem + agg to the folded volume ``(B, H, W, D*ci)``;
     returns ``(B, H, W, D*co)`` in the volume's dtype (or ``out_dtype``
     — required for quantized int8 volumes, whose dequant scale rides in
-    the conv1 weights via ``prepare_consts(input_scale=...)``)."""
-    b, h, w, lc = vol.shape
+    the conv1 weights via ``prepare_consts(input_scale=...)``).
+
+    Sharded execution (parallel.shard_kernels): with ``halo=2`` the input
+    is an H-slab carrying 2 exchanged halo rows on each side (shape
+    ``(B, h + 4, W, D*ci)`` for ``h`` output rows), ``row0`` is the
+    GLOBAL row index of the slab's first interior row (traced per-shard
+    scalar, landed in SMEM), and ``h_global`` the un-sharded image
+    height: the convs' zero-padding masks then act at the GLOBAL image
+    boundary instead of the slab boundary, so per-shard outputs
+    concatenate to exactly the monolithic result. ``halo=0`` (default)
+    is the single-device behavior, unchanged."""
+    b, h_in, w, lc = vol.shape
+    assert halo in (0, 2), halo
+    h = h_in - 2 * halo
     d = consts["d"]
     ci0, co0 = consts["ci0"], consts["co0"]
     ci1, co1 = consts["ci1"], consts["co1"]
@@ -191,7 +206,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
     if w != w_true:
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, w - w_true), (0, 0)))
 
-    # row-block size: divisor of h with the volume window under ~16 MB
+    # row-block size: divisor of h (OUTPUT rows) with the window < ~16 MB
     budget = 16 * 1024 * 1024
     th = 1
     for cand in range(h, 0, -1):
@@ -205,7 +220,14 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
     # second full copy of the volume in HBM (~100 MB of pure traffic at
     # 544x960 L) just to add 4 halo rows. h is an outer dim of the rank-4
     # volume (lanes = lc, sublanes = w), so any row offset is legal.
-    ld = min(th + 4, h)
+    ld = min(th + 4, h_in)
+
+    # Global-coordinate boundary masking (see docstring): slab row s is
+    # global row ``s - halo + row0``; convs zero-pad outside
+    # [0, h_global).
+    hg = h if h_global is None else int(h_global)
+    row0_arr = jnp.reshape(
+        jnp.asarray(0 if row0 is None else row0, jnp.int32), (1, 1))
 
     n_w0 = len(consts["w0"])
     n_w1 = len(consts["w1"])
@@ -215,20 +237,25 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         s0_ref, t0_ref = refs[n_w0], refs[n_w0 + 1]
         w1_refs = refs[n_w0 + 2: n_w0 + 2 + n_w1]
         s1_ref, t1_ref = refs[n_w0 + 2 + n_w1], refs[n_w0 + 3 + n_w1]
-        vol_ref = refs[n_w0 + 4 + n_w1]
-        out_ref = refs[n_w0 + 5 + n_w1]
-        win, sem = refs[n_w0 + 6 + n_w1], refs[n_w0 + 7 + n_w1]
+        row0_ref = refs[n_w0 + 4 + n_w1]
+        vol_ref = refs[n_w0 + 5 + n_w1]
+        out_ref = refs[n_w0 + 6 + n_w1]
+        win, sem = refs[n_w0 + 7 + n_w1], refs[n_w0 + 8 + n_w1]
 
         bi = pl.program_id(0)
         ti = pl.program_id(1)
-        r0 = ti * th
+        r0 = ti * th          # first OUTPUT row of this block
+        rs = r0 + halo        # its slab row (slab = output rows + halos)
+        base = row0_ref[0, 0] - halo   # global row of slab row 0
 
-        # global row g lives at scratch index g - (r0 - 4); the loaded
+        # slab row g lives at scratch index g - (rs - 4); the loaded
         # block [src, src+ld) lands at dst in {0..4}, and the fixed
-        # window x = win[2:th+6] below then holds rows [r0-2, r0+th+2)
-        # with unloaded out-of-image rows masked to the convs' zero pad.
-        src = jnp.clip(r0 - 2, 0, h - ld)
-        dst = src - r0 + 4
+        # window x = win[2:th+6] below then holds slab rows
+        # [rs-2, rs+th+2) with unloaded out-of-image rows masked to the
+        # convs' zero pad (masks are in GLOBAL coordinates — see
+        # docstring).
+        src = jnp.clip(rs - 2, 0, h_in - ld)
+        dst = src - rs + 4
         cp = pltpu.make_async_copy(
             vol_ref.at[bi, pl.ds(src, ld)], win.at[pl.ds(dst, ld)], sem)
         cp.start()
@@ -237,16 +264,17 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         conv = _make_banded_conv(w, mm_dt, approx, interpret)
 
         x = win[2:th + 6].astype(jnp.float32)
-        rg1 = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) + r0 - 2
-        x = jnp.where((rg1 >= 0) & (rg1 < h), x, 0.0)
+        rg1 = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0) \
+            + rs - 2 + base
+        x = jnp.where((rg1 >= 0) & (rg1 < hg), x, 0.0)
         y1 = conv(x, th + 2, w0_refs, consts["blocks0"], ci0, co0,
                   s0_ref, t0_ref)
         # conv2 zero-pads ITS input at the image boundary: y1's halo rows
         # outside [0, H) carry conv1-of-padding values (BN offset, not 0)
         # and must be masked — interior tiles' halos are real rows.
         ri = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-        rg = r0 - 1 + ri
-        y1 = jnp.where((rg >= 0) & (rg < h), y1, 0.0)
+        rg = rs - 1 + ri + base
+        y1 = jnp.where((rg >= 0) & (rg < hg), y1, 0.0)
         if w != w_true:
             cg = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
             y1 = jnp.where(cg < w_true, y1, 0.0)
@@ -260,6 +288,7 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
             *consts["w1"],
             jnp.concatenate(consts["s1"])[None],
             jnp.concatenate(consts["t1"])[None],
+            row0_arr,
             vol)
 
     n_const = n_w0 + n_w1 + 4
@@ -267,7 +296,8 @@ def folded_stem_agg_apply(vol: Array, consts: dict, *,
         kernel,
         grid=(b, h // th),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, w, d * co1),
                                lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -457,7 +487,7 @@ def folded_volume_stem_agg_apply(ref: Array, tgt: Array, consts: dict, *,
         kernel,
         grid=(b, h // th),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec((1, th, w, d * co1),
                                lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),

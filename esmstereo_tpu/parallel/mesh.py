@@ -63,21 +63,34 @@ def auto_mesh(batch_size: int, spatial: int = 1, devices=None) -> Mesh | None:
                      devices=devices[: data * spatial])
 
 
-def spatial_safe_config(model_cfg, mesh: Mesh | None):
-    """Return ``model_cfg`` with Pallas fast paths disabled when the mesh
-    shards the H axis.
+def spatial_safe_config(model_cfg, mesh: Mesh | None,
+                        shard_kernels: bool = False):
+    """Return ``model_cfg`` adjusted for a mesh that shards the H axis.
 
     A ``pallas_call`` cannot be partitioned by XLA's SPMD pass: under a
     ``spatial`` axis it would force a full all-gather of its operands per
     call (correct but pathological) or fail to partition outright. The
     folded/phased XLA reformulations partition fine (they are ordinary
-    convs); only the kernels must go. Applied automatically by every
-    framework entry point that builds a spatially-sharded run — callers
-    constructing their own meshes should do the same.
+    convs). Two strategies for the kernels:
+
+      * ``shard_kernels=False`` (default): disable every kernel — the
+        sharded forward runs the plain XLA formulation.
+      * ``shard_kernels=True`` (round 5): keep the volume and stem+agg
+        kernels and run them per-H-slab under ``jax.shard_map`` with
+        explicit halo exchange (``parallel.shard_kernels``, exact); the
+        remaining kernels (fused head/stems/mixer) stay off.
+
+    Applied automatically by every framework entry point that builds a
+    spatially-sharded run — callers constructing their own meshes should
+    do the same.
     """
     if mesh is None or "spatial" not in mesh.axis_names \
             or mesh.shape["spatial"] <= 1:
         return model_cfg
+    if shard_kernels:
+        return dataclasses.replace(
+            model_cfg, shard_mesh=mesh, fuse_backbone_head=False,
+            fuse_stems=False, fuse_volume_agg=False, fuse_mixer=False)
     return dataclasses.replace(
         model_cfg, pallas_volume=False, fuse_backbone_head=False,
         fuse_stems=False, fuse_agg_stem=False, fuse_volume_agg=False,
