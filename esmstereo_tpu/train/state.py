@@ -14,10 +14,20 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def create_train_state(model, rng, sample_batch, optimizer) -> TrainState:
-    """Initialise model variables from a sample batch and wrap in TrainState."""
+def create_train_state(model, rng, sample_batch, optimizer,
+                       jit_init: bool = False) -> TrainState:
+    """Initialise model variables from a sample batch and wrap in TrainState.
+
+    ``jit_init`` compiles the init as ONE XLA program instead of tracing
+    it eagerly — same result, but the program lands in the persistent
+    compilation cache, which is what keeps repeat ``dryrun_multichip``
+    runs inside the driver budget on the CPU backend.
+    """
     left, right = sample_batch["left"], sample_batch["right"]
-    variables = model.init(rng, left, right, train=False)
+    init = model.init
+    if jit_init:
+        init = jax.jit(model.init, static_argnames=("train",))
+    variables = init(rng, left, right, train=False)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
