@@ -21,14 +21,17 @@ class Parameter {
   explicit Parameter(int i) : i_(i) {}
   explicit Parameter(long i) : i_(i) {}
   explicit Parameter(double d) : d_(d) {}
+  explicit Parameter(bool b) : b_(b) {}
   const std::string& as_string() const { return s_; }
   long as_int() const { return i_; }
   double as_double() const { return d_; }
+  bool as_bool() const { return b_; }
 
  private:
   std::string s_;
   long i_ = 0;
   double d_ = 0.0;
+  bool b_ = false;
 };
 
 template <typename MsgT>

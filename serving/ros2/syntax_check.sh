@@ -8,3 +8,6 @@ OPENCV_INC=$(pkg-config --cflags-only-I opencv4 2>/dev/null || echo "-I/usr/incl
 g++ -std=c++17 -fsyntax-only -Istubs -I../include $OPENCV_INC \
     src/stereo_publisher_node.cc
 echo "stereo_publisher_node.cc: syntax OK"
+g++ -std=c++17 -fsyntax-only -Istubs -I../include $OPENCV_INC \
+    src/stereo_publisher_conf_node.cc
+echo "stereo_publisher_conf_node.cc: syntax OK"
