@@ -47,11 +47,19 @@ def make_scene_batch(rng: np.random.Generator, batch: int, h: int, w: int,
     ``left[y, x] == right[y, x - d_k]`` whenever that right-view location
     is not covered by a nearer layer (verified in tests/test_data.py).
 
+    ``disp_range`` is half-open (numpy convention): layer disparities are
+    drawn without replacement from ``[disp_range[0], disp_range[1])``, so
+    at most ``disp_range[1] - disp_range[0]`` distinct layers fit; the
+    requested layer count is clamped to that span.
+
     Returns the same dict layout as :func:`make_batch`.
     """
+    span = disp_range[1] - disp_range[0]
+    if span < 1:
+        raise ValueError(f"empty disp_range {disp_range} (half-open)")
     lefts, rights, disps, layer_info = [], [], [], []
     for _ in range(batch):
-        k = int(rng.integers(n_layers[0], n_layers[1] + 1))
+        k = min(int(rng.integers(n_layers[0], n_layers[1] + 1)), span)
         ds = np.sort(rng.choice(
             np.arange(disp_range[0], disp_range[1]),
             size=k, replace=False)).astype(int)

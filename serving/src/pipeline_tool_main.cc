@@ -24,22 +24,34 @@
 
 namespace {
 
+// User-input validation (file sizes, shape args): must survive NDEBUG —
+// a truncated .bin would otherwise become an out-of-bounds read.
+#define CHECK_INPUT(cond, ...)                            \
+  do {                                                    \
+    if (!(cond)) {                                        \
+      std::fprintf(stderr, "pipeline_tool: " __VA_ARGS__); \
+      std::fprintf(stderr, "\n");                         \
+      std::exit(3);                                       \
+    }                                                     \
+  } while (0)
+
 std::vector<char> ReadAll(const char* path) {
   FILE* f = std::fopen(path, "rb");
-  assert(f != nullptr);
+  CHECK_INPUT(f != nullptr, "cannot open %s", path);
   std::fseek(f, 0, SEEK_END);
   const long n = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
   std::vector<char> data(static_cast<size_t>(n));
   const size_t rd = std::fread(data.data(), 1, data.size(), f);
-  assert(rd == data.size());
+  CHECK_INPUT(rd == data.size(), "short read on %s (%zu of %zu bytes)",
+              path, rd, data.size());
   std::fclose(f);
   return data;
 }
 
 void WriteAll(const char* path, const void* data, size_t bytes) {
   FILE* f = std::fopen(path, "wb");
-  assert(f != nullptr);
+  CHECK_INPUT(f != nullptr, "cannot open %s for writing", path);
   std::fwrite(data, 1, bytes, f);
   std::fclose(f);
 }
@@ -89,7 +101,8 @@ int main(int argc, char** argv) {
     const int h = std::atoi(argv[3]), w = std::atoi(argv[4]);
     const int th = std::atoi(argv[5]), tw = std::atoi(argv[6]);
     auto in = ReadAll(argv[2]);
-    assert(in.size() == static_cast<size_t>(h) * w * 3);
+    CHECK_INPUT(in.size() == static_cast<size_t>(h) * w * 3,
+                "rgb size %zu != h*w*3 for %dx%d", in.size(), h, w);
     esmstereo::PreprocessConfig cfg;
     cfg.target = {th, tw};
     std::vector<float> out;
@@ -104,7 +117,8 @@ int main(int argc, char** argv) {
     const int ph = std::atoi(argv[3]), pw = std::atoi(argv[4]);
     const int oh = std::atoi(argv[5]), ow = std::atoi(argv[6]);
     auto in = ReadAll(argv[2]);
-    assert(in.size() == static_cast<size_t>(ph) * pw * sizeof(float));
+    CHECK_INPUT(in.size() == static_cast<size_t>(ph) * pw * sizeof(float),
+                "disp size %zu != ph*pw*4 for %dx%d", in.size(), ph, pw);
     esmstereo::PostprocessConfig cfg;
     cfg.padded = {ph, pw};
     cfg.original = {oh, ow};
@@ -120,8 +134,10 @@ int main(int argc, char** argv) {
     const int oh = std::atoi(argv[6]), ow = std::atoi(argv[7]);
     auto disp = ReadAll(argv[2]);
     auto conf = ReadAll(argv[3]);
-    assert(disp.size() == static_cast<size_t>(ph) * pw * sizeof(float));
-    assert(conf.size() == disp.size());
+    CHECK_INPUT(disp.size() == static_cast<size_t>(ph) * pw * sizeof(float),
+                "disp size %zu != ph*pw*4 for %dx%d", disp.size(), ph, pw);
+    CHECK_INPUT(conf.size() == disp.size(),
+                "conf size %zu != disp size %zu", conf.size(), disp.size());
     esmstereo::PostprocessConfig cfg;
     cfg.padded = {ph, pw};
     cfg.original = {oh, ow};
@@ -142,8 +158,11 @@ int main(int argc, char** argv) {
     auto est = ReadAll(argv[2]);
     auto gt = ReadAll(argv[3]);
     auto conf = ReadAll(argv[4]);
-    assert(est.size() == static_cast<size_t>(h) * w * sizeof(float));
-    assert(gt.size() == est.size() && conf.size() == est.size());
+    CHECK_INPUT(est.size() == static_cast<size_t>(h) * w * sizeof(float),
+                "est size %zu != h*w*4 for %dx%d", est.size(), h, w);
+    CHECK_INPUT(gt.size() == est.size() && conf.size() == est.size(),
+                "gt/conf sizes (%zu, %zu) != est size %zu", gt.size(),
+                conf.size(), est.size());
     const float max_disp = std::strtof(argv[7], nullptr);
     const float threshold = std::strtof(argv[8], nullptr);
     double coverage = 0.0;

@@ -360,22 +360,29 @@ std::string PjrtRunner::TimedRun(int index,
         std::chrono::duration<double>(t1 - t0).count() * 1e3);
   }
 
-  // pipelined: submit everything, anchor once on the last readback
+  // pipelined: submit everything, anchor once on the last readback.
+  // Only two frames' output buffers are ever alive at once: frame i-1's
+  // are destroyed as soon as frame i is submitted (destroy is deferred by
+  // the runtime until the producing execution completes), so HBM use does
+  // not scale with --frames.
   double pipelined_ms = 0.0;
-  std::vector<std::vector<PJRT_Buffer*>> outs(frames);
+  std::vector<PJRT_Buffer*> prev_out, cur_out;
   if (err.empty()) {
     const auto t0 = std::chrono::steady_clock::now();
     for (int i = 0; i < frames && err.empty(); ++i) {
-      err = ExecuteBuffers(index, in_buffers, &outs[i], false);
+      err = ExecuteBuffers(index, in_buffers, &cur_out, false);
+      DestroyBuffers(&prev_out);
+      prev_out.swap(cur_out);
     }
     std::vector<Tensor> scratch;
     std::vector<Tensor>* sink = last_outputs ? last_outputs : &scratch;
-    if (err.empty()) err = ReadBuffers(outs[frames - 1], sink);
+    if (err.empty()) err = ReadBuffers(prev_out, sink);
     const auto t1 = std::chrono::steady_clock::now();
     pipelined_ms =
         std::chrono::duration<double>(t1 - t0).count() * 1e3 / frames;
   }
-  for (auto& o : outs) DestroyBuffers(&o);
+  DestroyBuffers(&prev_out);
+  DestroyBuffers(&cur_out);
   DestroyBuffers(&in_buffers);
   if (!err.empty()) return err;
 

@@ -48,6 +48,13 @@ def main(argv=None) -> dict:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--eval_pairs", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_decay_steps", default="",
+                   help="comma list of steps at which lr halves (the "
+                        "reference's lrepochs '10,12,14,16:2' DSL scaled "
+                        "to steps, train_sceneflow.py:52)")
+    p.add_argument("--fix_cv16", action="store_true",
+                   help="supervise [full, 1/4] for cv16 instead of the "
+                        "reference's single-output quirk (loss.py:19)")
     # span several cost-volume bins for EVERY variant: cv16's bins are
     # max_disp/12 = 16 px wide, so the 4-40 px range of round-4's first
     # cut gave the coarse variants ~2 bins of signal and they plateaued.
@@ -109,9 +116,16 @@ def main(argv=None) -> dict:
         model = ESMStereo(config=cfg)
         rng = np.random.default_rng(args.train_seed)
         sample = to_dev(make_scene_batch(rng, args.batch, **scene))
+        if args.lr_decay_steps:
+            bounds = [int(x) for x in args.lr_decay_steps.split(",")]
+            import optax
+            lr = optax.piecewise_constant_schedule(
+                args.lr, {b: 0.5 for b in bounds})
+        else:
+            lr = args.lr
         state = create_train_state(model, jax.random.key(0), sample,
-                                   make_optimizer("adamw", args.lr))
-        train_step = jax.jit(make_train_step(model))
+                                   make_optimizer("adamw", lr))
+        train_step = jax.jit(make_train_step(model, fix_cv16=args.fix_cv16))
         t0 = time.time()
         last = {}
         for step in range(args.steps):
@@ -153,6 +167,8 @@ def main(argv=None) -> dict:
         "train_seed": args.train_seed,
         "eval_seed": args.eval_seed,
         "lr": args.lr,
+        "lr_decay_steps": args.lr_decay_steps,
+        "fix_cv16": args.fix_cv16,
         "backend": jax.default_backend(),
         "date": time.strftime("%Y-%m-%d"),
     }
