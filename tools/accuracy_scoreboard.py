@@ -36,7 +36,52 @@ VARIANTS = {
     "L": dict(cv_scale=4, backbone="efficientnet_b2"),
     "M": dict(cv_scale=8, backbone="efficientnet_b2"),
     "S": dict(cv_scale=16, backbone="mobilenetv2_100"),
+    # confidence variant (cv16/mobilenet/norm-corr + LAFNet head): only
+    # its DISPARITY output is supervised (the reference has no confidence
+    # training path; the cv16 loss quirk supervises full-res only anyway).
+    # Trained weights feed the strict deploy-shape confidence golden
+    # (tools/conf_e2e.py --loadckpt): real cost margins instead of
+    # random-init near-ties.
+    "C": dict(cv_scale=16, backbone="mobilenetv2_100",
+              cost_volume="norm_correlation"),
 }
+
+
+def _make_conf_train_step(cfg):
+    """Train step for the confidence variant: smooth-L1 on the full-res
+    disparity only (the reference's cv16 loss quirk, loss.py:19; the
+    confidence head has no training recipe in the reference and rides
+    along un-supervised)."""
+    import jax
+
+    from esmstereo_tpu.models.losses import (
+        disparity_masks,
+        masked_mean,
+        smooth_l1,
+    )
+    from esmstereo_tpu.utils.metrics import d1_metric, epe_metric
+
+    def train_step(state, batch):
+        gt = batch["disparity"]
+        mask = disparity_masks([gt], cfg.max_disp)[0]
+
+        def loss_fn(params):
+            (disp, _conf), mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["left"], batch["right"], train=True,
+                mutable=["batch_stats"])
+            loss = masked_mean(smooth_l1(disp - gt), mask)
+            return loss, (disp, mutated)
+
+        (loss, (disp, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        new_state = new_state.replace(batch_stats=mutated["batch_stats"])
+        return new_state, {"loss": loss,
+                           "EPE": epe_metric(disp, gt, mask),
+                           "D1": d1_metric(disp, gt, mask)}
+
+    return train_step
 
 
 def main(argv=None) -> dict:
@@ -64,6 +109,11 @@ def main(argv=None) -> dict:
     p.add_argument("--eval_seed", type=int, default=9999,
                    help="held-out set seed — never used for training")
     p.add_argument("--out", default="ACCURACY.json")
+    p.add_argument("--save_ckpt", default="",
+                   help="directory to save the trained variables "
+                        "(orbax StandardCheckpointer tree, the format "
+                        "export_stablehlo.py --loadckpt restores); one "
+                        "subdir per variant")
     p.add_argument("--merge", action="store_true",
                    help="update only the trained variants in an existing "
                         "out file (per-variant meta recorded under the "
@@ -113,7 +163,11 @@ def main(argv=None) -> dict:
     results: dict[str, dict] = {}
     for name in [v.strip() for v in args.variants.split(",") if v.strip()]:
         cfg = ESMStereoConfig(**VARIANTS[name])
-        model = ESMStereo(config=cfg)
+        if name == "C":
+            from esmstereo_tpu.models.confidence import ESMStereoConfidence
+            model = ESMStereoConfidence(config=cfg)
+        else:
+            model = ESMStereo(config=cfg)
         rng = np.random.default_rng(args.train_seed)
         sample = to_dev(make_scene_batch(rng, args.batch, **scene))
         if args.lr_decay_steps:
@@ -125,7 +179,11 @@ def main(argv=None) -> dict:
             lr = args.lr
         state = create_train_state(model, jax.random.key(0), sample,
                                    make_optimizer("adamw", lr))
-        train_step = jax.jit(make_train_step(model, fix_cv16=args.fix_cv16))
+        if name == "C":
+            train_step = jax.jit(_make_conf_train_step(cfg))
+        else:
+            train_step = jax.jit(
+                make_train_step(model, fix_cv16=args.fix_cv16))
         t0 = time.time()
         last = {}
         for step in range(args.steps):
@@ -158,6 +216,15 @@ def main(argv=None) -> dict:
             "train_seconds": round(time.time() - t0, 1),
         }
         print(f"[{name}] eval:", json.dumps(results[name]), flush=True)
+
+        if args.save_ckpt:
+            import orbax.checkpoint as ocp
+            path = os.path.abspath(os.path.join(args.save_ckpt, name))
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, {"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                           force=True)
+            print(f"[{name}] checkpoint saved to {path}", flush=True)
 
     meta = {
         "steps": args.steps,

@@ -53,6 +53,13 @@ def parse_args():
     p.add_argument("--eval_bin",
                    default=os.path.join(REPO, "serving/build/stereo_eval"))
     p.add_argument("--out_json", default=os.path.join(REPO, "CONF_E2E.json"))
+    p.add_argument("--loadckpt", default="",
+                   help="orbax checkpoint dir of TRAINED confidence-"
+                        "variant weights (accuracy_scoreboard.py "
+                        "--variants C --save_ckpt): the top-7 softmax "
+                        "then sits on real cost margins instead of "
+                        "random-init near-ties, which is what makes the "
+                        "deploy-shape confidence golden strict")
     p.add_argument("--strict_conf", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="include the confidence-map bounds in ok. At the "
@@ -86,13 +93,15 @@ def main() -> int:
 
     # 1) export the confidence variant (CPU trace; portable StableHLO)
     model_path = os.path.join(args.workdir, "StereoConf")
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools/export_stablehlo.py"),
-         "--cpu", "--confidence", "--cv_scale", "16",
-         "--backbone", "mobilenetv2_100", "--cv", "norm_correlation",
-         "--height", str(args.height), "--width", str(args.width),
-         "--out", model_path],
-        check=True, cwd=os.path.join(REPO, "tools"))
+    export_cmd = [
+        sys.executable, os.path.join(REPO, "tools/export_stablehlo.py"),
+        "--cpu", "--confidence", "--cv_scale", "16",
+        "--backbone", "mobilenetv2_100", "--cv", "norm_correlation",
+        "--height", str(args.height), "--width", str(args.width),
+        "--out", model_path]
+    if args.loadckpt:
+        export_cmd += ["--loadckpt", os.path.abspath(args.loadckpt)]
+    subprocess.run(export_cmd, check=True, cwd=os.path.join(REPO, "tools"))
 
     # 2) synthetic pair with known constant disparity (left[x]=right[x-s])
     rng = np.random.default_rng(3)
@@ -137,10 +146,17 @@ def main() -> int:
                           fuse_backbone_head=False, fuse_stems=False,
                           pallas_volume=False, fuse_agg_stem=False)
     model = ESMStereoConfidence(config=cfg)
-    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = jax.jit(
-        lambda l, r: model.init(jax.random.key(0), l, r, train=False)
-    )(dummy, dummy)
+    if args.loadckpt:
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.restore(os.path.abspath(args.loadckpt))
+        variables = {"params": tree["params"],
+                     "batch_stats": tree["batch_stats"]}
+    else:
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda l, r: model.init(jax.random.key(0), l, r, train=False)
+        )(dummy, dummy)
 
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
@@ -188,12 +204,19 @@ def main() -> int:
         check=True, capture_output=True, text=True).stdout
     print(eval_out)
 
+    # with TRAINED weights the conf map must be strictly reproducible at
+    # the deploy shape (the random-init rank-flip artifact class is
+    # gone): tighten the median bound to 1e-3 (round-5 criterion).
+    conf_bound = 1e-3 if args.loadckpt else 0.02
     result = {
         "ok": bool(ddiff[~flip].mean() <= 64
                    and (ddiff[~flip] > 256).mean() <= 0.02
                    and (not args.strict_conf
-                        or (flip_clear <= 0.05 and conf_med <= 0.02))),
+                        or (flip_clear <= 0.05
+                            and conf_med <= conf_bound))),
         "strict_conf": args.strict_conf,
+        "conf_median_bound": conf_bound,
+        "loadckpt": args.loadckpt,
         "plugin": args.plugin,
         "golden_backend": "tpu-jax (same chip as the C++ run)",
         "model_shape": [args.height, args.width],
