@@ -822,6 +822,11 @@ class ESMStereo(nn.Module):
                 "match_left": match_l,
                 "f16": fl[3],
                 "f4": fl[1],
+                # intermediate-scale disparity (1/2 for cv4/cv16, 1/2 of
+                # the 3-scale list for cv8): lets stage_profile split the
+                # upsampler into its stages (anchoring here dead-code-
+                # eliminates the final stage)
+                "disp_2": outs[1][..., 0],
             }
             return result, aux
         return result

@@ -148,7 +148,8 @@ def main() -> None:
         else:
             from esmstereo_tpu.models import ESMStereo
             model = ESMStereo(config=cfg)
-            anchors = ("f16", "match_left", "cost", "init_pred", "full")
+            anchors = ("f16", "match_left", "cost", "init_pred",
+                       "disp_2", "full")
         rng0 = np.random.default_rng(0)
         left = jax.device_put(np.asarray(
             rng0.standard_normal((1, args.height, args.width, 3)),
