@@ -207,3 +207,18 @@ def test_make_filelists_cli(kitti15_tree, tmp_path):
         assert len(parts) == 3
         assert parts[0].startswith("training/image_2/")
         assert parts[2].startswith("training/disp_occ_0/")
+
+
+def test_live_realsense_synthetic_cli(tmp_path):
+    """P22 execution evidence: the RealSense tool's full frame loop
+    (depth conversion, colormap, FPS/centre annotation, frame output)
+    runs end-to-end from the synthetic camera — no SDK needed."""
+    outdir = tmp_path / "depth_frames"
+    out = _run("live_realsense.py", *S_ARGS, "--cpu", "--synthetic", "2",
+               "--outdir", str(outdir), "--stream_height", "64",
+               "--stream_width", "96")
+    assert "synthetic done: centre" in out
+    frames = sorted(os.listdir(outdir))
+    assert frames == ["000000.png", "000001.png"]
+    vis = np.array(Image.open(outdir / frames[0]))
+    assert vis.shape == (64, 96, 3)
