@@ -56,6 +56,26 @@ def save_checkpoint(logdir: str, state, epoch: int) -> str:
     return path
 
 
+def restore_variables(path: str) -> dict:
+    """Restore a raw variables tree (e.g. ``{'params', 'batch_stats'}``)
+    saved by ``StandardCheckpointer`` on ANY backend.
+
+    The checkpoint records the SAVING device's shardings, so a naive
+    ``restore(path)`` on a different backend fails with "Device TPU v5
+    lite0 was not found" (e.g. a TPU-trained scoreboard checkpoint
+    restored inside a ``--cpu`` export). Restoring against an abstract
+    metadata-derived target places the arrays on the default device
+    instead.
+    """
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta)
+        return ckptr.restore(path, abstract)
+
+
 def restore_checkpoint(path: str, state):
     """Full restore (resume): returns ``(state, next_epoch)``."""
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,

@@ -147,9 +147,8 @@ def main() -> int:
                           pallas_volume=False, fuse_agg_stem=False)
     model = ESMStereoConfidence(config=cfg)
     if args.loadckpt:
-        import orbax.checkpoint as ocp
-        with ocp.StandardCheckpointer() as ckptr:
-            tree = ckptr.restore(os.path.abspath(args.loadckpt))
+        from esmstereo_tpu.train.checkpoints import restore_variables
+        tree = restore_variables(os.path.abspath(args.loadckpt))
         variables = {"params": tree["params"],
                      "batch_stats": tree["batch_stats"]}
     else:

@@ -56,9 +56,8 @@ def main():
             lambda l, r: model.init(jax.random.key(0), l, r, train=False)
         )(dummy, dummy)
         if args.loadckpt:
-            import orbax.checkpoint as ocp
-            with ocp.StandardCheckpointer() as ckptr:
-                tree = ckptr.restore(args.loadckpt)
+            from esmstereo_tpu.train.checkpoints import restore_variables
+            tree = restore_variables(args.loadckpt)
             variables = {"params": tree["params"],
                          "batch_stats": tree["batch_stats"]}
 
