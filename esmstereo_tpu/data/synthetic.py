@@ -35,7 +35,8 @@ def make_scene_batch(rng: np.random.Generator, batch: int, h: int, w: int,
                      n_layers: tuple[int, int] = (2, 5),
                      disp_range: tuple[int, int] = (4, 40),
                      pyramid: bool = True,
-                     return_layers: bool = False) -> dict:
+                     return_layers: bool = False,
+                     return_raw: bool = False) -> dict:
     """Layered fronto-parallel scenes with exact piecewise-constant GT.
 
     Harder, geometrically consistent counterpart of :func:`make_batch`
@@ -96,14 +97,19 @@ def make_scene_batch(rng: np.random.Generator, batch: int, h: int, w: int,
                 sample_layers = []
             sample_layers.append((mask, int(d)))
         layer_info.append(sample_layers)
-        lefts.append(normalize_image(left))
-        rights.append(normalize_image(right))
+        lefts.append((left, normalize_image(left)))
+        rights.append((right, normalize_image(right)))
         disps.append(gt)
     out = {
-        "left": np.stack(lefts),
-        "right": np.stack(rights),
+        "left": np.stack([n for _, n in lefts]),
+        "right": np.stack([n for _, n in rights]),
         "disparity": np.stack(disps),
     }
+    if return_raw:
+        # un-normalized [0, 1] views, e.g. for writing uint8 PNGs that a
+        # serving pipeline re-normalizes itself (tools/conf_e2e.py)
+        out["left_raw"] = np.stack([r for r, _ in lefts])
+        out["right_raw"] = np.stack([r for r, _ in rights])
     if pyramid:
         out["disparity_low"] = [
             out["disparity"][:, ::r, ::r] for r in (2, 4, 8, 16)

@@ -52,6 +52,16 @@ class PjrtRunner {
   std::string Compile(const std::string& mlir_module);
   std::string CompileModule(const std::string& mlir_module, int* index);
 
+  // Overrides the serialized xla.CompileOptionsProto passed to
+  // PJRT_Client_Compile. The built-in default is a minimal hand-encoded
+  // proto (num_replicas=1, num_partitions=1); some backends/services
+  // require the full options jax would send — dump those with
+  //   jax._src.compiler.get_compile_options(1, 1).SerializeAsString()
+  // and pass the bytes here.
+  void set_compile_options(std::string proto_bytes) {
+    compile_options_override_ = std::move(proto_bytes);
+  }
+
   // Executes with float32 inputs; each input/output is a (dims, data)
   // pair. Empty string on success.
   struct Tensor {
@@ -108,6 +118,7 @@ class PjrtRunner {
 
  private:
   std::string plugin_path_;
+  std::string compile_options_override_;
   std::vector<Option> options_;
   void* dl_handle_ = nullptr;
   const PJRT_Api* api_ = nullptr;

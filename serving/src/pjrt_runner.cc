@@ -20,11 +20,91 @@ namespace {
 #define PJRT_COMPAT_SIZE(sname, last_field) \
   (offsetof(sname, last_field) + sizeof(((sname*)nullptr)->last_field))
 
-// Serialized xla.CompileOptionsProto with
-// executable_build_options { num_replicas: 1  num_partitions: 1 }.
-// Hand-encoded (field 3 = executable_build_options, length-delimited;
-// inner fields 4/5 varint 1) to avoid a protobuf build dependency.
-constexpr char kCompileOptionsProto[] = {0x1a, 0x04, 0x20, 0x01, 0x28, 0x01};
+// Serialized xla.CompileOptionsProto, vendored verbatim from what jax
+// sends (num_replicas=1, num_partitions=1, full default debug options).
+// A minimal hand-encoded proto ({0x1a,0x04,0x20,0x01,0x28,0x01}) used to
+// suffice, but the remote-compile service behind the axon tunnel now
+// rejects fresh (non-cached) compiles without the full options (empty
+// PJRT error message; round-5 finding). Regenerate with:
+//   python -c "from jax._src import compiler; import sys; \
+//     sys.stdout.buffer.write(compiler.get_compile_options(1, 1)\
+//     .SerializeAsString())" > options.bin
+// or pass --compile_options <file> to override at runtime.
+constexpr unsigned char kCompileOptionsProto[] = {
+    0x1a, 0xd5, 0x06, 0x08, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+    0xff, 0x01, 0x1a, 0xb1, 0x06, 0xf8, 0x01, 0x03, 0x98, 0x02, 0x01, 0xe0,
+    0x03, 0x01, 0xea, 0x03, 0x04, 0x4e, 0x6f, 0x6e, 0x65, 0xb0, 0x04, 0x01,
+    0xb8, 0x04, 0x01, 0xc0, 0x04, 0x01, 0xc8, 0x04, 0x00, 0x88, 0x06, 0x00,
+    0x98, 0x06, 0x00, 0xa0, 0x06, 0x00, 0xb0, 0x06, 0x01, 0xc8, 0x06, 0x00,
+    0xa0, 0x07, 0x00, 0xc0, 0x07, 0x01, 0xc8, 0x07, 0x01, 0xd0, 0x07, 0x01,
+    0xd8, 0x07, 0x04, 0xf0, 0x07, 0x01, 0x88, 0x08, 0x01, 0x98, 0x08, 0x00,
+    0xa0, 0x08, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x01,
+    0xc8, 0x08, 0x00, 0xd0, 0x08, 0x00, 0xe0, 0x08, 0x00, 0xf0, 0x08, 0xff,
+    0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x01, 0x80, 0x09, 0x00,
+    0xa8, 0x09, 0x00, 0xe8, 0x09, 0x87, 0x80, 0x80, 0x0f, 0x98, 0x0a, 0xff,
+    0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x01, 0xa0, 0x0a, 0x01,
+    0xa8, 0x0a, 0x01, 0xb0, 0x0a, 0x00, 0xd0, 0x0a, 0x01, 0xa8, 0x0b, 0x00,
+    0xb0, 0x0b, 0x00, 0xc8, 0x0b, 0x01, 0xd0, 0x0b, 0x00, 0xd8, 0x0b, 0x00,
+    0xe0, 0x0b, 0x01, 0xe8, 0x0b, 0x01, 0xf0, 0x0b, 0x01, 0xd8, 0x0c, 0x00,
+    0xe8, 0x0c, 0x01, 0x80, 0x0d, 0x05, 0x88, 0x0d, 0x01, 0x92, 0x0d, 0x00,
+    0xa0, 0x0d, 0x87, 0x80, 0x80, 0x0f, 0xa8, 0x0d, 0x87, 0x80, 0x80, 0x0f,
+    0xc0, 0x0d, 0x01, 0xc8, 0x0d, 0x00, 0xd8, 0x0d, 0x00, 0x80, 0x0e, 0x00,
+    0x8d, 0x0e, 0xcd, 0xcc, 0x8c, 0x3f, 0x98, 0x0e, 0x00, 0xa0, 0x0e, 0x80,
+    0x80, 0x80, 0x04, 0xb8, 0x0e, 0x01, 0xd8, 0x0e, 0x00, 0xe0, 0x0e, 0x00,
+    0xe8, 0x0e, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x7f, 0x80,
+    0x0f, 0x00, 0x88, 0x0f, 0x01, 0x98, 0x0f, 0x01, 0xb0, 0x0f, 0x00, 0xb8,
+    0x0f, 0x01, 0xc0, 0x0f, 0x00, 0xd0, 0x0f, 0x01, 0xd8, 0x0f, 0x0f, 0xe0,
+    0x0f, 0x01, 0xe8, 0x0f, 0x01, 0xf0, 0x0f, 0x00, 0xf8, 0x0f, 0x00, 0x80,
+    0x10, 0x00, 0x88, 0x10, 0x00, 0x92, 0x10, 0x06, 0x01, 0x02, 0x08, 0x07,
+    0x03, 0x09, 0x98, 0x10, 0x01, 0xa0, 0x10, 0x5f, 0xaa, 0x10, 0x00, 0xb0,
+    0x10, 0x00, 0xc8, 0x10, 0xa0, 0x8d, 0x06, 0xd8, 0x10, 0x00, 0xe0, 0x10,
+    0x00, 0xe8, 0x10, 0x00, 0x80, 0x11, 0x01, 0x88, 0x11, 0x00, 0x90, 0x11,
+    0x00, 0xa8, 0x11, 0x00, 0xc0, 0x11, 0x01, 0xd8, 0x11, 0x64, 0xe0, 0x11,
+    0x00, 0xe8, 0x11, 0x00, 0xf8, 0x11, 0x00, 0x80, 0x12, 0x00, 0x90, 0x12,
+    0x00, 0x98, 0x12, 0x00, 0xa8, 0x12, 0x10, 0xb0, 0x12, 0x03, 0xc0, 0x12,
+    0x00, 0xe0, 0x12, 0x01, 0xe8, 0x12, 0x00, 0x80, 0x13, 0x01, 0x88, 0x13,
+    0x00, 0x98, 0x13, 0x01, 0xa0, 0x13, 0x80, 0x02, 0xb2, 0x13, 0x00, 0xb8,
+    0x13, 0x10, 0xc0, 0x13, 0x00, 0xd8, 0x13, 0x00, 0xe5, 0x13, 0xcd, 0xcc,
+    0xcc, 0x3d, 0xe8, 0x13, 0x00, 0xf0, 0x13, 0x05, 0x98, 0x14, 0x20, 0xa0,
+    0x14, 0x01, 0xb8, 0x14, 0x0a, 0xc0, 0x14, 0x1e, 0xc8, 0x14, 0x00, 0xd0,
+    0x14, 0x00, 0xd8, 0x14, 0x20, 0xea, 0x14, 0x00, 0xf0, 0x14, 0x00, 0xf8,
+    0x14, 0x00, 0x80, 0x15, 0x01, 0x88, 0x15, 0x00, 0x98, 0x15, 0xff, 0xff,
+    0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x01, 0xa0, 0x15, 0x00, 0xa8,
+    0x15, 0x01, 0xb0, 0x15, 0x01, 0xb8, 0x15, 0x00, 0xc0, 0x15, 0x00, 0xc8,
+    0x15, 0x00, 0xd8, 0x15, 0x00, 0xe0, 0x15, 0x00, 0xe8, 0x15, 0x00, 0xf0,
+    0x15, 0x00, 0xf8, 0x15, 0x00, 0x88, 0x16, 0x00, 0x90, 0x16, 0x00, 0xa0,
+    0x16, 0x01, 0xaa, 0x16, 0x13, 0x0a, 0x0d, 0x63, 0x68, 0x75, 0x6e, 0x6b,
+    0x5f, 0x70, 0x72, 0x65, 0x70, 0x5f, 0x75, 0x73, 0x12, 0x02, 0x2d, 0x31,
+    0xaa, 0x16, 0x16, 0x0a, 0x10, 0x63, 0x68, 0x75, 0x6e, 0x6b, 0x5f, 0x73,
+    0x69, 0x7a, 0x65, 0x5f, 0x62, 0x79, 0x74, 0x65, 0x73, 0x12, 0x02, 0x2d,
+    0x31, 0xaa, 0x16, 0x13, 0x0a, 0x0d, 0x67, 0x70, 0x75, 0x73, 0x5f, 0x70,
+    0x65, 0x72, 0x5f, 0x6e, 0x6f, 0x64, 0x65, 0x12, 0x02, 0x2d, 0x31, 0xaa,
+    0x16, 0x17, 0x0a, 0x11, 0x6e, 0x63, 0x63, 0x6c, 0x5f, 0x6f, 0x70, 0x5f,
+    0x6c, 0x61, 0x75, 0x6e, 0x63, 0x68, 0x5f, 0x75, 0x73, 0x12, 0x02, 0x2d,
+    0x31, 0xaa, 0x16, 0x14, 0x0a, 0x0e, 0x6e, 0x69, 0x63, 0x5f, 0x73, 0x70,
+    0x65, 0x65, 0x64, 0x5f, 0x67, 0x62, 0x70, 0x73, 0x12, 0x02, 0x2d, 0x31,
+    0xaa, 0x16, 0x0c, 0x0a, 0x06, 0x72, 0x74, 0x74, 0x5f, 0x75, 0x73, 0x12,
+    0x02, 0x2d, 0x31, 0xb8, 0x16, 0x01, 0xd0, 0x16, 0x01, 0xd8, 0x16, 0x00,
+    0xe8, 0x16, 0x00, 0xf0, 0x16, 0x00, 0x80, 0x17, 0x00, 0x90, 0x17, 0x00,
+    0xa0, 0x17, 0x00, 0xb0, 0x17, 0x00, 0xb8, 0x17, 0x01, 0xc0, 0x17, 0x01,
+    0xca, 0x17, 0x00, 0xd0, 0x17, 0x87, 0x80, 0x80, 0x0f, 0xd8, 0x17, 0x00,
+    0xe0, 0x17, 0x00, 0xe8, 0x17, 0x01, 0xf0, 0x17, 0x01, 0xfa, 0x17, 0x00,
+    0x80, 0x18, 0x00, 0x90, 0x18, 0x00, 0x98, 0x18, 0x00, 0xa0, 0x18, 0x00,
+    0xa8, 0x18, 0x01, 0xb0, 0x18, 0x01, 0xb8, 0x18, 0x14, 0xc0, 0x18, 0x28,
+    0xc8, 0x18, 0x00, 0xd8, 0x18, 0x00, 0xe0, 0x18, 0x00, 0x98, 0x19, 0x00,
+    0xa0, 0x19, 0x02, 0xb0, 0x19, 0x00, 0xba, 0x19, 0x00, 0xc0, 0x19, 0x00,
+    0xc8, 0x19, 0x01, 0xd0, 0x19, 0x00, 0xd8, 0x19, 0x00, 0xe0, 0x19, 0x00,
+    0xe8, 0x19, 0x00, 0xf0, 0x19, 0x00, 0x88, 0x1a, 0x28, 0x90, 0x1a, 0x14,
+    0x98, 0x1a, 0x00, 0xa0, 0x1a, 0x01, 0xa8, 0x1a, 0x00, 0xb2, 0x1a, 0x01,
+    0x04, 0xc8, 0x1a, 0x01, 0xd0, 0x1a, 0x00, 0xe0, 0x1a, 0x00, 0xe8, 0x1a,
+    0x00, 0xf0, 0x1a, 0x01, 0xf8, 0x1a, 0x00, 0x80, 0x1b, 0x00, 0xa0, 0x1b,
+    0x01, 0xa8, 0x1b, 0x01, 0xb0, 0x1b, 0x88, 0x0e, 0xb8, 0x1b, 0x00, 0xc0,
+    0x1b, 0x00, 0xc8, 0x1b, 0x00, 0xd2, 0x1b, 0x07, 0x02, 0x03, 0x04, 0x01,
+    0x05, 0x06, 0x07, 0xd8, 0x1b, 0x00, 0x20, 0x01, 0x28, 0x01, 0x30, 0x01,
+    0x62, 0x01, 0x00, 0x92, 0x01, 0x01, 0x00, 0x98, 0x01, 0x01, 0xb8, 0x01,
+    0x01, 0xc8, 0x01, 0x1d, 0x28, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+    0xff, 0xff, 0x01,
+};
 
 }  // namespace
 
@@ -153,8 +233,14 @@ std::string PjrtRunner::CompileModule(const std::string& mlir_module,
   args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   args.client = client_;
   args.program = &program;
-  args.compile_options = kCompileOptionsProto;
-  args.compile_options_size = sizeof(kCompileOptionsProto);
+  if (!compile_options_override_.empty()) {
+    args.compile_options = compile_options_override_.data();
+    args.compile_options_size = compile_options_override_.size();
+  } else {
+    args.compile_options =
+        reinterpret_cast<const char*>(kCompileOptionsProto);
+    args.compile_options_size = sizeof(kCompileOptionsProto);
+  }
   if (auto e = ErrorToString(api_->PJRT_Client_Compile(&args)); !e.empty()) {
     return "PJRT_Client_Compile: " + e;
   }
@@ -297,10 +383,32 @@ std::string PjrtRunner::ReadBuffers(const std::vector<PJRT_Buffer*>& bufs,
     for (auto d : (*outputs)[i].dims) n *= d;
     (*outputs)[i].data.resize(static_cast<size_t>(n));
 
+    // Request an explicit dense row-major host layout. With host_layout
+    // null the copy uses the SOURCE buffer's layout — and the compiler is
+    // free to choose a non-default (e.g. transposed) layout for outputs,
+    // which round-5 debugging caught as a silently-permuted disparity map
+    // at 384x1248 (the remote-compile service behind the axon tunnel
+    // started choosing such layouts; jax's own buffer machinery always
+    // passes an explicit host layout, which is why the Python path was
+    // unaffected).
+    std::vector<int64_t> minor_to_major(dims_args.num_dims);
+    for (size_t d = 0; d < dims_args.num_dims; ++d) {
+      minor_to_major[d] =
+          static_cast<int64_t>(dims_args.num_dims) - 1 - static_cast<int64_t>(d);
+    }
+    PJRT_Buffer_MemoryLayout layout;
+    std::memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = minor_to_major.data();
+    layout.tiled.minor_to_major_size = minor_to_major.size();
+
     PJRT_Buffer_ToHostBuffer_Args hargs;
     std::memset(&hargs, 0, sizeof(hargs));
     hargs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     hargs.src = out_buffers[i];
+    hargs.host_layout = &layout;
     hargs.dst = (*outputs)[i].data.data();
     hargs.dst_size = (*outputs)[i].data.size() * sizeof(float);
     if (auto e = ErrorToString(api_->PJRT_Buffer_ToHostBuffer(&hargs));

@@ -43,6 +43,7 @@ std::string ReadFile(const std::string& path) {
 
 struct Options {
   std::string model, plugin, left, right, out, vis, conf_out;
+  std::string compile_options;  // file of serialized xla.CompileOptionsProto
   int height = 384, width = 1248;
   float max_disp = 192.0f;
   float conf_threshold = 0.5f;  // reference slider default range 0..1
@@ -82,6 +83,7 @@ bool ParseArgs(int argc, char** argv, Options* o) {
     else if (k == "--max_disp") o->max_disp = std::stof(v);
     else if (k == "--fx") o->fx = std::stod(v);
     else if (k == "--baseline") o->baseline = std::stod(v);
+    else if (k == "--compile_options") o->compile_options = v;
     else { std::fprintf(stderr, "unknown flag %s\n", k.c_str()); return false; }
   }
   return !o->model.empty() && !o->plugin.empty() && !o->left.empty() &&
@@ -120,6 +122,14 @@ int main(int argc, char** argv) {
   }
 
   esmstereo::PjrtRunner runner(opt.plugin, opt.plugin_options);
+  if (!opt.compile_options.empty()) {
+    const std::string co = ReadFile(opt.compile_options);
+    if (co.empty()) {
+      std::fprintf(stderr, "failed to read %s\n", opt.compile_options.c_str());
+      return 1;
+    }
+    runner.set_compile_options(co);
+  }
   if (auto e = runner.Initialize(); !e.empty()) {
     std::fprintf(stderr, "PJRT init failed: %s\n", e.c_str());
     return 1;

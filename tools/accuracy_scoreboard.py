@@ -49,10 +49,19 @@ VARIANTS = {
 
 def _make_conf_train_step(cfg):
     """Train step for the confidence variant: smooth-L1 on the full-res
-    disparity only (the reference's cv16 loss quirk, loss.py:19; the
-    confidence head has no training recipe in the reference and rides
-    along un-supervised)."""
+    disparity (the reference's cv16 loss quirk, loss.py:19) plus a
+    LAFNet-style binary-cross-entropy term on the confidence map with
+    target ``|disp - gt| <= 3 px`` (the D1 correctness criterion). The
+    reference has no confidence training recipe (the head only appears
+    in the ONNX export chain and is deployed from trained checkpoints);
+    without ANY supervision the head's parameters keep their random init
+    and its x100-sharpened top-7 softmax stays numerically chaotic —
+    which is exactly what the strict deploy-shape serving golden
+    (tools/conf_e2e.py) must not be exposed to. Training the head to
+    saturate toward 0/1 is both the realistic deployment condition and
+    what makes the conf map reproducible across compile pipelines."""
     import jax
+    import jax.numpy as jnp
 
     from esmstereo_tpu.models.losses import (
         disparity_masks,
@@ -66,11 +75,20 @@ def _make_conf_train_step(cfg):
         mask = disparity_masks([gt], cfg.max_disp)[0]
 
         def loss_fn(params):
-            (disp, _conf), mutated = state.apply_fn(
+            (disp, conf), mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["left"], batch["right"], train=True,
                 mutable=["batch_stats"])
             loss = masked_mean(smooth_l1(disp - gt), mask)
+            # BCE(conf, correct): gradients flow only through conf; the
+            # disparity error is a fixed target (stop_gradient) so this
+            # term cannot distort the disparity stream's training.
+            correct = (jnp.abs(jax.lax.stop_gradient(disp) - gt)
+                       <= 3.0).astype(jnp.float32)
+            eps = 1e-6
+            c = jnp.clip(conf, eps, 1.0 - eps)
+            bce = -(correct * jnp.log(c) + (1 - correct) * jnp.log(1 - c))
+            loss = loss + masked_mean(bce, mask)
             return loss, (disp, mutated)
 
         (loss, (disp, mutated)), grads = jax.value_and_grad(

@@ -60,6 +60,15 @@ def parse_args():
                         "then sits on real cost margins instead of "
                         "random-init near-ties, which is what makes the "
                         "deploy-shape confidence golden strict")
+    p.add_argument("--scene_pair", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="probe with an in-distribution layered-scene stereo "
+                        "pair (make_scene_batch geometry, exact GT) instead "
+                        "of rolled iid noise. Defaults ON when --loadckpt "
+                        "is given: a trained model's cost margins are only "
+                        "sharp on data resembling what it learned; on iid "
+                        "noise every pixel is a near-tie and compile-"
+                        "pipeline rank flips dominate both outputs.")
     p.add_argument("--strict_conf", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="include the confidence-map bounds in ok. At the "
@@ -103,10 +112,25 @@ def main() -> int:
         export_cmd += ["--loadckpt", os.path.abspath(args.loadckpt)]
     subprocess.run(export_cmd, check=True, cwd=os.path.join(REPO, "tools"))
 
-    # 2) synthetic pair with known constant disparity (left[x]=right[x-s])
+    # 2) synthetic probe pair with exact GT: either rolled iid noise
+    # (constant disparity) or an in-distribution layered scene
+    scene_pair = (bool(args.loadckpt) if args.scene_pair is None
+                  else args.scene_pair)
     rng = np.random.default_rng(3)
-    img = (rng.random((args.height, args.width, 3)) * 255).astype(np.uint8)
-    right_img = np.roll(img, -args.shift, axis=1)
+    if scene_pair:
+        from esmstereo_tpu.data.synthetic import make_scene_batch
+        batch = make_scene_batch(rng, 1, args.height, args.width,
+                                 disp_range=(8, 96), pyramid=False,
+                                 return_raw=True)
+        img = (batch["left_raw"][0] * 255).round().astype(np.uint8)
+        right_img = (batch["right_raw"][0] * 255).round().astype(np.uint8)
+        gt_disp = batch["disparity"][0].astype(np.float32)
+    else:
+        img = (rng.random((args.height, args.width, 3)) * 255).astype(
+            np.uint8)
+        right_img = np.roll(img, -args.shift, axis=1)
+        gt_disp = np.full((args.height, args.width), float(args.shift),
+                          np.float32)
     left_p = os.path.join(args.workdir, "l.png")
     right_p = os.path.join(args.workdir, "r.png")
     cv2.imwrite(left_p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
@@ -193,9 +217,9 @@ def main() -> int:
     flip_clear = float((flip & clear).sum() / max(clear.sum(), 1))
     conf_med = float(np.median(cdiff)) / 65535.0
 
-    # 5) conf-thresholded eval vs the known constant-disparity GT
+    # 5) conf-thresholded eval vs the probe pair's exact GT
     gt_png = os.path.join(args.workdir, "gt.png")
-    gt = np.full((args.height, args.width), args.shift * 256, np.uint16)
+    gt = np.minimum(gt_disp * 256.0, 65535.0).astype(np.uint16)
     cv2.imwrite(gt_png, gt)
     eval_out = subprocess.run(
         [args.eval_bin, "--est", out_png, "--gt", gt_png,
@@ -216,6 +240,7 @@ def main() -> int:
         "strict_conf": args.strict_conf,
         "conf_median_bound": conf_bound,
         "loadckpt": args.loadckpt,
+        "scene_pair": scene_pair,
         "plugin": args.plugin,
         "golden_backend": "tpu-jax (same chip as the C++ run)",
         "model_shape": [args.height, args.width],
