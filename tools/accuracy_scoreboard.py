@@ -48,20 +48,17 @@ VARIANTS = {
 
 
 def _make_conf_train_step(cfg):
-    """Train step for the confidence variant: smooth-L1 on the full-res
-    disparity (the reference's cv16 loss quirk, loss.py:19) plus a
-    LAFNet-style binary-cross-entropy term on the confidence map with
-    target ``|disp - gt| <= 3 px`` (the D1 correctness criterion). The
-    reference has no confidence training recipe (the head only appears
-    in the ONNX export chain and is deployed from trained checkpoints);
-    without ANY supervision the head's parameters keep their random init
-    and its x100-sharpened top-7 softmax stays numerically chaotic —
-    which is exactly what the strict deploy-shape serving golden
-    (tools/conf_e2e.py) must not be exposed to. Training the head to
-    saturate toward 0/1 is both the realistic deployment condition and
-    what makes the conf map reproducible across compile pipelines."""
+    """Phase-A train step for the confidence variant: smooth-L1 on the
+    full-res disparity only (the reference's cv16 loss quirk, loss.py:19;
+    the reference has no confidence training recipe — the head only
+    appears in the ONNX export chain and is deployed from trained
+    checkpoints). The head is trained separately in phase B
+    (:func:`_make_conf_head_step`) with the trunk frozen: a joint
+    BCE+disparity loss was measured to DEGRADE disparity learning (eval
+    D1 0.40 -> 0.78 at 1000 steps) because the head consumes the cost
+    volume, descriptors and features, so head gradients contaminate the
+    trunk."""
     import jax
-    import jax.numpy as jnp
 
     from esmstereo_tpu.models.losses import (
         disparity_masks,
@@ -75,20 +72,11 @@ def _make_conf_train_step(cfg):
         mask = disparity_masks([gt], cfg.max_disp)[0]
 
         def loss_fn(params):
-            (disp, conf), mutated = state.apply_fn(
+            (disp, _conf), mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["left"], batch["right"], train=True,
                 mutable=["batch_stats"])
             loss = masked_mean(smooth_l1(disp - gt), mask)
-            # BCE(conf, correct): gradients flow only through conf; the
-            # disparity error is a fixed target (stop_gradient) so this
-            # term cannot distort the disparity stream's training.
-            correct = (jnp.abs(jax.lax.stop_gradient(disp) - gt)
-                       <= 3.0).astype(jnp.float32)
-            eps = 1e-6
-            c = jnp.clip(conf, eps, 1.0 - eps)
-            bce = -(correct * jnp.log(c) + (1 - correct) * jnp.log(1 - c))
-            loss = loss + masked_mean(bce, mask)
             return loss, (disp, mutated)
 
         (loss, (disp, mutated)), grads = jax.value_and_grad(
@@ -100,6 +88,52 @@ def _make_conf_train_step(cfg):
                            "D1": d1_metric(disp, gt, mask)}
 
     return train_step
+
+
+def _make_conf_head_step(cfg):
+    """Phase-B step: LAFNet-style BCE on the confidence map with target
+    ``|disp - gt| <= 3 px`` (the D1 correctness criterion), trunk FROZEN
+    (gradients zeroed outside ``params['confidence_net']``, forward in
+    eval mode so trunk batch stats do not drift). Without any
+    supervision the head keeps its random init and its x100-sharpened
+    top-7 softmax stays numerically chaotic — exactly what the strict
+    deploy-shape serving golden (tools/conf_e2e.py) must not be exposed
+    to. A saturated 0/1-confident head is both the realistic deployment
+    condition and what makes the conf map reproducible across compile
+    pipelines."""
+    import jax
+    import jax.numpy as jnp
+
+    from esmstereo_tpu.models.losses import disparity_masks, masked_mean
+
+    def head_step(state, batch):
+        gt = batch["disparity"]
+        mask = disparity_masks([gt], cfg.max_disp)[0]
+
+        def loss_fn(params):
+            disp, conf = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["left"], batch["right"], train=False)
+            correct = (jnp.abs(disp - gt) <= 3.0).astype(jnp.float32)
+            eps = 1e-6
+            c = jnp.clip(conf, eps, 1.0 - eps)
+            bce = -(correct * jnp.log(c)
+                    + (1 - correct) * jnp.log(1 - c))
+            acc = masked_mean(
+                ((c >= 0.5).astype(jnp.float32) == correct).astype(
+                    jnp.float32), mask)
+            return masked_mean(bce, mask), acc
+
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: (g if any(
+                getattr(k, "key", None) == "confidence_net" for k in path)
+                else jnp.zeros_like(g)), grads)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {"bce": loss, "conf_acc": acc}
+
+    return head_step
 
 
 def main(argv=None) -> dict:
@@ -115,6 +149,9 @@ def main(argv=None) -> dict:
                    help="comma list of steps at which lr halves (the "
                         "reference's lrepochs '10,12,14,16:2' DSL scaled "
                         "to steps, train_sceneflow.py:52)")
+    p.add_argument("--conf_steps", type=int, default=300,
+                   help="phase-B head-only BCE steps for the C variant "
+                        "(trunk frozen; see _make_conf_head_step)")
     p.add_argument("--fix_cv16", action="store_true",
                    help="supervise [full, 1/4] for cv16 instead of the "
                         "reference's single-output quirk (loss.py:19)")
@@ -212,6 +249,25 @@ def main(argv=None) -> dict:
                 print(f"[{name}] step {step}: "
                       + " ".join(f"{k}={v:.3f}" for k, v in last.items()),
                       flush=True)
+
+        if name == "C" and args.conf_steps > 0:
+            import optax
+
+            head_step = jax.jit(_make_conf_head_step(cfg))
+            head_mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: any(
+                    getattr(k, "key", None) == "confidence_net"
+                    for k in path), state.params)
+            tx = optax.masked(optax.adam(args.lr), head_mask)
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+            for step in range(args.conf_steps):
+                batch = to_dev(make_scene_batch(rng, args.batch, **scene))
+                state, hm = head_step(state, batch)
+                if step % 50 == 0 or step == args.conf_steps - 1:
+                    print(f"[{name}] head step {step}: " + " ".join(
+                        f"{k}={float(v):.3f}" for k, v in hm.items()),
+                        flush=True)
+            last.update({k: round(float(v), 4) for k, v in hm.items()})
 
         @jax.jit
         def eval_fn(variables, left, right):
