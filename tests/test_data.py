@@ -233,3 +233,30 @@ def test_accuracy_scoreboard_smoke(tmp_path):
     s = on_disk["variants"]["S"]
     assert {"EPE", "D1", "Thres1", "Thres2", "Thres3"} <= set(s)
     assert on_disk["meta"]["eval_seed"] == 9999
+
+
+def test_accuracy_scoreboard_confidence_two_phase(tmp_path):
+    """The C variant's two-phase recipe runs end to end: phase A trains
+    the disparity trunk, phase B trains the LAFNet head alone (BCE,
+    frozen trunk). Runs with forced-interpret Pallas kernels so a
+    regression that routes phase B's differentiated forward through a
+    pallas_call (which has no JVP rule — the round-5 TPU crash) fails
+    here too."""
+    import json
+
+    from esmstereo_tpu.ops import pallas as pk
+    from tools.accuracy_scoreboard import main
+
+    out = tmp_path / "ACC_C.json"
+    pk.set_force_interpret(True)
+    try:
+        res = main(["--cpu", "--variants", "C", "--steps", "1",
+                    "--conf_steps", "1", "--height", "64", "--width", "96",
+                    "--batch", "2", "--eval_pairs", "2", "--disp_max", "16",
+                    "--out", str(out)])
+    finally:
+        pk.set_force_interpret(False)
+    c = json.loads(out.read_text())["variants"]["C"]
+    assert res["variants"]["C"] == c
+    # phase-B metrics recorded alongside the disparity ones
+    assert {"bce", "conf_acc"} <= set(c["final_train"])

@@ -90,7 +90,7 @@ def _make_conf_train_step(cfg):
     return train_step
 
 
-def _make_conf_head_step(cfg):
+def _make_conf_head_step(cfg, apply_fn):
     """Phase-B step: LAFNet-style BCE on the confidence map with target
     ``|disp - gt| <= 3 px`` (the D1 correctness criterion), trunk FROZEN
     (gradients zeroed outside ``params['confidence_net']``, forward in
@@ -111,7 +111,11 @@ def _make_conf_head_step(cfg):
         mask = disparity_masks([gt], cfg.max_disp)[0]
 
         def loss_fn(params):
-            disp, conf = state.apply_fn(
+            # apply_fn is the KERNEL-FREE twin's apply (path-compatible
+            # params): the Pallas fast paths are eval-only AND not
+            # differentiable, and phase B differentiates an eval-mode
+            # forward.
+            disp, conf = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["left"], batch["right"], train=False)
             correct = (jnp.abs(disp - gt) <= 3.0).astype(jnp.float32)
@@ -251,9 +255,16 @@ def main(argv=None) -> dict:
                       flush=True)
 
         if name == "C" and args.conf_steps > 0:
+            import dataclasses
+
             import optax
 
-            head_step = jax.jit(_make_conf_head_step(cfg))
+            from esmstereo_tpu.models.confidence import ESMStereoConfidence
+            cfg_plain = dataclasses.replace(
+                cfg, fuse_backbone_head=False, fuse_stems=False,
+                pallas_volume=False, fuse_agg_stem=False)
+            plain = ESMStereoConfidence(config=cfg_plain)
+            head_step = jax.jit(_make_conf_head_step(cfg, plain.apply))
             head_mask = jax.tree_util.tree_map_with_path(
                 lambda path, _: any(
                     getattr(k, "key", None) == "confidence_net"
