@@ -159,6 +159,41 @@ def test_ros2_node_syntax():
     assert "syntax OK" in out.stdout
 
 
+def test_vendored_compile_options_match_jax():
+    """The serialized xla.CompileOptionsProto vendored into
+    pjrt_runner.cc (kCompileOptionsProto) must byte-match what THIS
+    jax version sends: the remote-compile service rejects fresh
+    compiles under a minimal/stale options proto (round-5 serving
+    regression), so a silent drift after a jax upgrade would break the
+    C++ path on exactly the programs that are not already cached. If
+    this fails, regenerate the array (instructions in the comment above
+    the constant in pjrt_runner.cc)."""
+    import re
+    import sys
+
+    # compute in a subprocess with XLA_FLAGS cleared: flags like the
+    # test suite's --xla_force_host_platform_device_count are parsed
+    # into DebugOptions and would perturb the serialized bytes
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from jax._src import compiler; import sys; "
+         "sys.stdout.write(compiler.get_compile_options(1, 1)"
+         ".SerializeAsString().hex())"],
+        env=env, capture_output=True, text=True, timeout=120, check=True)
+    expected = bytes.fromhex(out.stdout.strip())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "serving/src/pjrt_runner.cc")).read()
+    m = re.search(
+        r"kCompileOptionsProto\[\]\s*=\s*\{([^}]*)\}", src, re.S)
+    assert m, "kCompileOptionsProto not found in pjrt_runner.cc"
+    vendored = bytes(
+        int(tok, 16) for tok in re.findall(r"0x[0-9a-fA-F]{2}", m.group(1)))
+    assert vendored == expected, (
+        f"vendored proto ({len(vendored)} B) != jax's current options "
+        f"({len(expected)} B) — regenerate kCompileOptionsProto")
+
+
 def test_postprocess_conf_matches_python(pipeline_tool, tmp_path, rng):
     """Confidence-masked postprocess: validity = range AND conf>=tau
     (kitti_publisher_conf_cuda_node.cpp:571-575)."""
